@@ -1,0 +1,116 @@
+"""Vectorized, platform-deterministic hashing for all sketches.
+
+Everything here is pure numpy over uint64 buffers — no per-row Python,
+no reliance on Python's randomized ``hash()``. The mixer is the public
+splitmix64 finalizer (Steele/Lea/Flood, JDK SplittableRandom); k Bloom
+indexes come from two hash evaluations via the Kirsch–Mitzenmacher
+double-hashing construction (h1 + j*h2 mod m).
+
+Reference parity note: upstream fuggetaboutit derives k indexes from a
+digest of the key inside ``_indexes`` (see SURVEY.md §2.2,
+[U:fuggetaboutit/counting_bloom_filter.py]); the exact upstream hash
+function is irrelevant to semantics (any strong hash satisfies the FPR
+bound), so we use splitmix64 which vectorizes to ~1 GB/s in numpy.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_U64 = np.uint64
+_GOLDEN = _U64(0x9E3779B97F4A7C15)
+_MIX1 = _U64(0xBF58476D1CE4E5B9)
+_MIX2 = _U64(0x94D049BB133111EB)
+
+# numpy integer overflow in array ops wraps mod 2^64, which is exactly
+# what splitmix64 wants; silence the scalar-path warnings defensively.
+_err = np.errstate(over="ignore")
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer over a uint64 array (wrapping arithmetic)."""
+    with np.errstate(over="ignore"):
+        z = x.astype(_U64, copy=True)
+        z += _GOLDEN
+        z ^= z >> _U64(30)
+        z *= _MIX1
+        z ^= z >> _U64(27)
+        z *= _MIX2
+        z ^= z >> _U64(31)
+    return z
+
+
+def hash64(keys: np.ndarray, seed: int = 0) -> np.ndarray:
+    """Seeded 64-bit hash of an integer key array → uint64 array.
+
+    Deterministic across platforms/endianness (pure integer ops).
+    """
+    k = np.asarray(keys)
+    if k.dtype.kind not in "iu":
+        raise TypeError(f"hash64 wants integer keys, got {k.dtype}")
+    with np.errstate(over="ignore"):
+        x = k.astype(_U64, copy=False) ^ splitmix64(np.full(1, seed, _U64))
+    return splitmix64(x)
+
+
+def hash64_strings(keys, seed: int = 0) -> np.ndarray:
+    """Seeded 64-bit hash of a string sequence → uint64 array.
+
+    Uses a vectorized FNV-1a over the UTF-8 bytes via numpy void views.
+    Strings are only hashed on the doc_id path (per-batch, not per
+    token), so this is off the hot path; still vectorized per batch.
+    """
+    import pandas as pd
+
+    s = pd.Series(keys, dtype="object")
+    # pandas str→bytes then python-level fnv per element would be slow;
+    # instead pack into a fixed-width byte matrix and fold columns.
+    b = s.astype(str).str.encode("utf-8")
+    maxlen = int(b.str.len().max() or 1)
+    mat = np.zeros((len(b), maxlen), dtype=np.uint8)
+    for i, bs in enumerate(b.values):  # bounded by batch size, cheap vs tokens
+        mat[i, : len(bs)] = np.frombuffer(bs, dtype=np.uint8)
+    with np.errstate(over="ignore"):
+        h = np.full(len(b), _U64(0xCBF29CE484222325) ^ _U64(seed * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF), _U64)
+        prime = _U64(0x100000001B3)
+        for j in range(maxlen):
+            h ^= mat[:, j].astype(_U64)
+            h *= prime
+        h ^= _U64(maxlen)
+    return splitmix64(h)
+
+
+def bloom_indexes(keys: np.ndarray, k: int, m: int, seed: int = 0) -> np.ndarray:
+    """(n,) integer keys → (n, k) bucket indexes in [0, m).
+
+    Double hashing: idx_j = (h1 + j*h2) mod m, h2 forced odd so the
+    probe sequence cycles through distinct residues for power-of-two m
+    and never degenerates to a fixed point.
+    """
+    h1 = hash64(keys, seed=seed)
+    h2 = hash64(keys, seed=seed + 0x51ED)
+    h2 |= _U64(1)
+    j = np.arange(k, dtype=_U64)
+    with np.errstate(over="ignore"):
+        idx = (h1[:, None] + j[None, :] * h2[:, None]) % _U64(m)
+    return idx.astype(np.int64, copy=False)
+
+
+def clz64(x: np.ndarray) -> np.ndarray:
+    """Count of leading zeros of each uint64 (vectorized, exact).
+
+    Binary-search style: 6 compare/shift rounds, no float rounding
+    hazards (float64 log2 misbins values adjacent to powers of two).
+    """
+    x = x.astype(_U64, copy=True)
+    n = np.full(x.shape, 64, dtype=np.int64)
+    shift = 32
+    while shift:
+        s = _U64(shift)
+        big = (x >> s) != 0
+        n[big] -= shift
+        x[big] >>= s
+        shift >>= 1
+    # here x in {0,1}; subtract the final bit for nonzero inputs
+    n -= (x != 0).astype(np.int64)
+    return n

@@ -1,0 +1,49 @@
+"""Sketch registry: every sketch is a commutative monoid with canonical
+byte serialization (see base.py)."""
+
+from .base import Sketch, pack, unpack
+from .cbf import CountingBloomFilter
+from .cms import CountMinSketch
+from .hll import HyperLogLog
+from .kll import KLL
+from .stbf import ScalingTimingBloomFilter
+from .tbf import TimingBloomFilter
+from .tdigest import TDigest
+
+REGISTRY = {
+    cls.NAME: cls
+    for cls in (
+        CountingBloomFilter,
+        TimingBloomFilter,
+        ScalingTimingBloomFilter,
+        HyperLogLog,
+        CountMinSketch,
+        TDigest,
+        KLL,
+    )
+}
+
+
+def sketch_from_bytes(buf: bytes) -> Sketch:
+    """Dispatch on the serialized sketch name."""
+    import struct
+
+    nlen = struct.unpack_from("<B", buf, 5)[0]
+    name = buf[6 : 6 + nlen].decode()
+    return REGISTRY[name].from_bytes(buf)
+
+
+__all__ = [
+    "Sketch",
+    "CountingBloomFilter",
+    "TimingBloomFilter",
+    "ScalingTimingBloomFilter",
+    "HyperLogLog",
+    "CountMinSketch",
+    "TDigest",
+    "KLL",
+    "REGISTRY",
+    "sketch_from_bytes",
+    "pack",
+    "unpack",
+]

@@ -1,0 +1,98 @@
+"""Shared sketch machinery: the commutative-monoid contract and a
+canonical, platform-independent serialization.
+
+Every sketch in this package is an **associative, commutative monoid**
+(SURVEY.md §7.4): ``merge(a, merge(b, c)) == merge(merge(a, b), c)``
+and ``merge(a, b) == merge(b, a)`` down to serialized bytes. That is
+the property the distributed layer leans on — partials produced on any
+executor in any order tree-reduce to identical final bytes.
+
+Serialization is explicit little-endian with a versioned header, so a
+sketch written on one platform round-trips anywhere:
+
+    magic(4s) ver(u8) name_len(u8) name params_len(u32) params_json
+    n_items(u64) n_arrays(u8) then per array:
+    dtype_len(u8) dtype_str shape_ndim(u8) shape(u64*) raw LE bytes
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+MAGIC = b"FGAS"
+VERSION = 1
+
+
+def _le(a: np.ndarray) -> np.ndarray:
+    """Return array coerced to little-endian layout."""
+    dt = a.dtype.newbyteorder("<")
+    return a.astype(dt, copy=False)
+
+
+def pack(name: str, params_json: str, n_items: int, arrays: list[np.ndarray]) -> bytes:
+    out = [MAGIC, struct.pack("<BB", VERSION, len(name)), name.encode()]
+    pj = params_json.encode()
+    out.append(struct.pack("<I", len(pj)))
+    out.append(pj)
+    out.append(struct.pack("<QB", n_items, len(arrays)))
+    for a in arrays:
+        a = np.ascontiguousarray(_le(a))
+        ds = a.dtype.newbyteorder("<").str.encode()  # e.g. b'<u2'
+        out.append(struct.pack("<B", len(ds)))
+        out.append(ds)
+        out.append(struct.pack("<B", a.ndim))
+        out.append(struct.pack(f"<{a.ndim}Q", *a.shape) if a.ndim else b"")
+        out.append(a.tobytes())
+    return b"".join(out)
+
+
+def unpack(buf: bytes) -> tuple[str, str, int, list[np.ndarray]]:
+    mv = memoryview(buf)
+    if bytes(mv[:4]) != MAGIC:
+        raise ValueError("bad sketch magic")
+    ver, nlen = struct.unpack_from("<BB", mv, 4)
+    if ver != VERSION:
+        raise ValueError(f"unsupported sketch version {ver}")
+    off = 6
+    name = bytes(mv[off : off + nlen]).decode()
+    off += nlen
+    (plen,) = struct.unpack_from("<I", mv, off)
+    off += 4
+    params_json = bytes(mv[off : off + plen]).decode()
+    off += plen
+    n_items, n_arrays = struct.unpack_from("<QB", mv, off)
+    off += 9
+    arrays = []
+    for _ in range(n_arrays):
+        (dlen,) = struct.unpack_from("<B", mv, off)
+        off += 1
+        dtype = np.dtype(bytes(mv[off : off + dlen]).decode())
+        off += dlen
+        (ndim,) = struct.unpack_from("<B", mv, off)
+        off += 1
+        shape = struct.unpack_from(f"<{ndim}Q", mv, off) if ndim else ()
+        off += 8 * ndim
+        count = int(np.prod(shape)) if ndim else 1
+        nbytes = count * dtype.itemsize
+        a = np.frombuffer(mv[off : off + nbytes], dtype=dtype).reshape(shape)
+        off += nbytes
+        arrays.append(a.copy())  # own the memory; native byte order
+    return name, params_json, int(n_items), arrays
+
+
+class Sketch:
+    """Minimal shared surface; concrete sketches define NAME and the
+    zero/update/merge/to_bytes/from_bytes quintet."""
+
+    NAME = "?"
+
+    def __eq__(self, other) -> bool:  # byte-level equality is the contract
+        return type(self) is type(other) and self.to_bytes() == other.to_bytes()
+
+    def __hash__(self):
+        return hash(self.to_bytes())
+
+    def to_bytes(self) -> bytes:  # pragma: no cover - abstract
+        raise NotImplementedError

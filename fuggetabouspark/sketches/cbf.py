@@ -1,0 +1,112 @@
+"""CountingBloomFilter — counter-array Bloom filter with delete support.
+
+Reimplements the semantics of upstream fuggetaboutit's
+CountingBloomFilter (SURVEY.md §2.2,
+[U:fuggetaboutit/counting_bloom_filter.py]): k counters per key via
+double hashing; ``add`` increments, ``remove`` decrements with an
+underflow guard, ``contains`` requires all k counters > 0; merge is
+elementwise counter addition.
+
+Distributed divergences (deliberate, documented in SURVEY.md §1.2):
+- counters are uint16 with **saturating** add (upstream uses narrow
+  ints; saturation keeps merge associative: min(a+b+c, MAX) regardless
+  of grouping, since all addends are >= 0);
+- updates are whole-batch numpy (bincount scatter-add), never per-key
+  Python;
+- ``remove`` is only sound before any saturating/merged counts — same
+  caveat as any counting Bloom filter, flagged in the docstring.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..hashing import bloom_indexes
+from ..params import BloomParams, params_from_json, params_to_json
+from .base import Sketch, pack, unpack
+
+_MAX = np.uint16(0xFFFF)
+
+
+class CountingBloomFilter(Sketch):
+    NAME = "cbf"
+
+    def __init__(self, params: BloomParams, counts: np.ndarray | None = None, n_items: int = 0):
+        self.params = params
+        self.m, self.k = params.m, params.k
+        self.counts = counts if counts is not None else np.zeros(self.m, dtype=np.uint16)
+        self.n_items = int(n_items)
+
+    # ---- construction ----
+    @classmethod
+    def zero(cls, params: BloomParams) -> "CountingBloomFilter":
+        return cls(params)
+
+    # ---- update (vectorized batch) ----
+    def add_batch(self, keys: np.ndarray) -> "CountingBloomFilter":
+        """Saturating scatter-add of k counters per key; whole batch at once."""
+        keys = np.asarray(keys)
+        if keys.size == 0:
+            return self
+        idx = bloom_indexes(keys, self.k, self.m).ravel()
+        inc = np.bincount(idx, minlength=self.m).astype(np.int64)
+        wide = self.counts.astype(np.int64)
+        wide += inc
+        np.minimum(wide, int(_MAX), out=wide)
+        self.counts = wide.astype(np.uint16)
+        self.n_items += int(keys.size)
+        return self
+
+    def remove_batch(self, keys: np.ndarray) -> "CountingBloomFilter":
+        """Clip-at-zero decrement. Best-effort once counters saturated or
+        merged across partials — identical caveat to upstream CBF delete."""
+        keys = np.asarray(keys)
+        if keys.size == 0:
+            return self
+        idx = bloom_indexes(keys, self.k, self.m).ravel()
+        dec = np.bincount(idx, minlength=self.m).astype(np.int64)
+        wide = self.counts.astype(np.int64) - dec
+        np.maximum(wide, 0, out=wide)
+        self.counts = wide.astype(np.uint16)
+        self.n_items = max(0, self.n_items - int(keys.size))
+        return self
+
+    # ---- query ----
+    def contains_batch(self, keys: np.ndarray) -> np.ndarray:
+        keys = np.asarray(keys)
+        if keys.size == 0:
+            return np.zeros(0, dtype=bool)
+        idx = bloom_indexes(keys, self.k, self.m)
+        return self.counts[idx].min(axis=1) > 0
+
+    def fill_ratio(self) -> float:
+        return float(np.count_nonzero(self.counts)) / self.m
+
+    def estimate_size(self) -> float:
+        """Fill-ratio cardinality estimate -(m/k) * ln(1 - fill)."""
+        fill = self.fill_ratio()
+        if fill >= 1.0:
+            return float("inf")
+        return -(self.m / self.k) * float(np.log1p(-fill))
+
+    def __len__(self) -> int:
+        return self.n_items
+
+    # ---- merge (associative + commutative saturating add) ----
+    def merge(self, other: "CountingBloomFilter") -> "CountingBloomFilter":
+        if other.params != self.params:
+            raise ValueError("geometry mismatch in CBF merge")
+        wide = self.counts.astype(np.int64) + other.counts.astype(np.int64)
+        np.minimum(wide, int(_MAX), out=wide)
+        return CountingBloomFilter(self.params, wide.astype(np.uint16), self.n_items + other.n_items)
+
+    # ---- serialization ----
+    def to_bytes(self) -> bytes:
+        return pack(self.NAME, params_to_json(self.params), self.n_items, [self.counts])
+
+    @classmethod
+    def from_bytes(cls, buf: bytes) -> "CountingBloomFilter":
+        name, pj, n_items, arrays = unpack(buf)
+        if name != cls.NAME:
+            raise ValueError(f"expected {cls.NAME}, got {name}")
+        return cls(params_from_json(pj), arrays[0].astype(np.uint16, copy=False), n_items)

@@ -1,0 +1,92 @@
+"""HyperLogLog — decayed-cardinality companion sketch.
+
+From-scratch implementation per the north rule (BASELINE.json:14):
+registers uint8[2^p], update = elementwise max of rho values, merge =
+elementwise max (associative, commutative, idempotent). Estimator:
+raw HLL with the standard bias constant alpha_m and linear counting
+for the small range [P:Flajolet et al. 2007; small-range handling as
+in HLL++, Heule et al. 2013]. Relative std err ~ 1.04 / sqrt(2^p).
+
+Spark's builtin ``hll_sketch_agg``/``approx_count_distinct`` are used
+only as test oracles (SURVEY.md §7.3).
+
+For decayed cardinality ("distinct tokens seen in the last W ticks",
+SURVEY.md §2.4) the pipeline keeps one HLL per (group, tick-bucket)
+and unions the buckets inside the query window — see queries.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..hashing import clz64, hash64
+from ..params import HLLParams, params_from_json, params_to_json
+from .base import Sketch, pack, unpack
+
+
+class HyperLogLog(Sketch):
+    NAME = "hll"
+
+    def __init__(self, params: HLLParams, registers: np.ndarray | None = None, n_items: int = 0):
+        self.params = params
+        self.p = params.p
+        self.m = params.m
+        self.registers = registers if registers is not None else np.zeros(self.m, dtype=np.uint8)
+        self.n_items = int(n_items)
+
+    @classmethod
+    def zero(cls, params: HLLParams) -> "HyperLogLog":
+        return cls(params)
+
+    def add_batch(self, keys: np.ndarray) -> "HyperLogLog":
+        keys = np.asarray(keys)
+        if keys.size == 0:
+            return self
+        h = hash64(keys)
+        j = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        w = h << np.uint64(self.p)  # remaining 64-p bits, left-aligned
+        rho = (clz64(w) + 1).clip(max=64 - self.p + 1).astype(np.uint8)
+        # scatter-max: sort by (register, rho) and keep the last per register
+        order = np.lexsort((rho, j))
+        js, rs = j[order], rho[order]
+        last = np.empty(js.size, dtype=bool)
+        last[:-1] = js[1:] != js[:-1]
+        last[-1] = True
+        jm, rm = js[last], rs[last]
+        self.registers[jm] = np.maximum(self.registers[jm], rm)
+        self.n_items += int(keys.size)
+        return self
+
+    def estimate(self) -> float:
+        m = float(self.m)
+        if self.m >= 128:
+            alpha = 0.7213 / (1.0 + 1.079 / m)
+        elif self.m == 64:
+            alpha = 0.709
+        elif self.m == 32:
+            alpha = 0.697
+        else:
+            alpha = 0.673
+        reg = self.registers.astype(np.float64)
+        raw = alpha * m * m / np.sum(np.exp2(-reg))
+        zeros = int(np.count_nonzero(self.registers == 0))
+        if raw <= 2.5 * m and zeros > 0:
+            return m * float(np.log(m / zeros))  # linear counting
+        return float(raw)
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        if other.params != self.params:
+            raise ValueError("geometry mismatch in HLL merge")
+        return HyperLogLog(
+            self.params, np.maximum(self.registers, other.registers), self.n_items + other.n_items
+        )
+
+    def to_bytes(self) -> bytes:
+        return pack(self.NAME, params_to_json(self.params), self.n_items, [self.registers])
+
+    @classmethod
+    def from_bytes(cls, buf: bytes) -> "HyperLogLog":
+        name, pj, n_items, arrays = unpack(buf)
+        if name != cls.NAME:
+            raise ValueError(f"expected {cls.NAME}, got {name}")
+        return cls(params_from_json(pj), arrays[0].astype(np.uint8, copy=False), n_items)

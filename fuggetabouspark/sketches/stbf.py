@@ -1,0 +1,168 @@
+"""ScalingTimingBloomFilter — tiered TimingBloomFilters that grow when
+the active tier's fill-ratio exceeds the budget.
+
+Reimplements the semantics of upstream fuggetaboutit's
+ScalingTimingBloomFilter (SURVEY.md §2.2,
+[U:fuggetaboutit/scaling_timing_bloom_filter.py]), which follows the
+Scalable Bloom Filter construction [P:Almeida et al., IPL 2007]:
+tier i has capacity ``capacity * growth**i`` and error
+``error * (1-r) * r**i`` so the total error stays <= the budget;
+inserts land in the newest tier and a fresh tier is allocated when the
+fill-ratio crosses ``max_fill_factor``; membership ORs across tiers;
+decay expires buckets per tier.
+
+Distributed design (SURVEY.md §7.5): tier geometry is a pure function
+of (params, i), identical on every executor, so partials that grew
+different ladder heights merge tier-wise — elementwise max per tier,
+missing tiers treated as zeros — which is associative, commutative and
+idempotent. Canonical form strips trailing all-empty tiers so equal
+states are byte-equal.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from ..params import ScalingParams, params_from_json, params_to_json
+from .base import MAGIC, Sketch, VERSION
+from .tbf import TimingBloomFilter
+
+
+class ScalingTimingBloomFilter(Sketch):
+    NAME = "stbf"
+
+    def __init__(self, params: ScalingParams, tiers: list[TimingBloomFilter] | None = None, n_items: int = 0):
+        self.params = params
+        self.tiers = tiers if tiers is not None else []
+        self.n_items = int(n_items)
+        # exact per-tier insert counters live on each TBF's n_items
+
+    @classmethod
+    def zero(cls, params: ScalingParams) -> "ScalingTimingBloomFilter":
+        return cls(params)
+
+    def _ensure_tier(self, i: int) -> TimingBloomFilter:
+        while len(self.tiers) <= i:
+            if len(self.tiers) >= self.params.max_tiers:
+                raise RuntimeError(f"STBF exceeded max_tiers={self.params.max_tiers}")
+            self.tiers.append(TimingBloomFilter.zero(self.params.tier(len(self.tiers))))
+        return self.tiers[i]
+
+    # ---- update ----
+    def add_batch(self, keys: np.ndarray, key_ticks: np.ndarray | int) -> "ScalingTimingBloomFilter":
+        """Insert into the newest tier, growing a new tier whenever the
+        newest tier's fill-ratio exceeds max_fill_factor.
+
+        The batch is chunked by the newest tier's remaining insert
+        budget so one huge batch cannot blow a small tier's FPR —
+        matching upstream's per-key fill check at batch granularity.
+        """
+        keys = np.asarray(keys)
+        if keys.size == 0:
+            return self
+        scalar_tick = np.ndim(key_ticks) == 0
+        kt = None if scalar_tick else np.asarray(key_ticks, dtype=np.int64)
+        pos = 0
+        while pos < keys.size:
+            tail = self._ensure_tier(max(0, len(self.tiers) - 1))
+            # insert budget before this tier is declared full: upstream's
+            # fill check, applied at batch granularity. n_items is this
+            # partial's insert count into the tier (exact, local).
+            budget = int(tail.params.capacity * self.params.max_fill_factor) - tail.n_items
+            if budget <= 0:
+                self._ensure_tier(len(self.tiers))  # grow, retry loop
+                continue
+            chunk = slice(pos, pos + budget)
+            tail.add_batch(keys[chunk], key_ticks if scalar_tick else kt[chunk])
+            pos += budget
+        self.n_items += int(keys.size)
+        return self
+
+    # ---- query ----
+    def contains_batch(self, keys: np.ndarray, now: int) -> np.ndarray:
+        keys = np.asarray(keys)
+        out = np.zeros(keys.shape, dtype=bool)
+        for t in reversed(self.tiers):  # newest first, like upstream
+            rem = ~out
+            if not rem.any():
+                break
+            out[rem] |= t.contains_batch(keys[rem], now)
+        return out
+
+    def decay(self, now: int) -> "ScalingTimingBloomFilter":
+        for t in self.tiers:
+            t.decay(now)
+        self._strip_empty_tail()
+        return self
+
+    def expected_error(self) -> float:
+        return self.params.expected_error(len(self.tiers))
+
+    def fill_ratios(self) -> list[float]:
+        return [t.fill_ratio() for t in self.tiers]
+
+    def __len__(self) -> int:
+        return self.n_items
+
+    def _strip_empty_tail(self) -> None:
+        while self.tiers and not self.tiers[-1].ticks.any():
+            self.tiers.pop()
+
+    # ---- merge: tier-wise elementwise max, zero-padded ----
+    def merge(self, other: "ScalingTimingBloomFilter") -> "ScalingTimingBloomFilter":
+        if other.params != self.params:
+            raise ValueError("geometry mismatch in STBF merge")
+        n = max(len(self.tiers), len(other.tiers))
+        tiers: list[TimingBloomFilter] = []
+        for i in range(n):
+            a = self.tiers[i] if i < len(self.tiers) else None
+            b = other.tiers[i] if i < len(other.tiers) else None
+            if a is not None and b is not None:
+                tiers.append(a.merge(b))
+            else:
+                src = a if a is not None else b
+                tiers.append(TimingBloomFilter(src.params, src.ticks.copy(), src.n_items))
+        out = ScalingTimingBloomFilter(self.params, tiers, self.n_items + other.n_items)
+        out._strip_empty_tail()
+        return out
+
+    # ---- serialization: header + concatenated tier blobs ----
+    def to_bytes(self) -> bytes:
+        self._strip_empty_tail()  # canonical form
+        pj = params_to_json(self.params).encode()
+        out = [MAGIC, struct.pack("<BB", VERSION, len(self.NAME)), self.NAME.encode()]
+        out.append(struct.pack("<I", len(pj)))
+        out.append(pj)
+        out.append(struct.pack("<QB", self.n_items, len(self.tiers)))
+        for t in self.tiers:
+            blob = t.to_bytes()
+            out.append(struct.pack("<Q", len(blob)))
+            out.append(blob)
+        return b"".join(out)
+
+    @classmethod
+    def from_bytes(cls, buf: bytes) -> "ScalingTimingBloomFilter":
+        mv = memoryview(buf)
+        if bytes(mv[:4]) != MAGIC:
+            raise ValueError("bad sketch magic")
+        ver, nlen = struct.unpack_from("<BB", mv, 4)
+        off = 6
+        name = bytes(mv[off : off + nlen]).decode()
+        off += nlen
+        if name != cls.NAME:
+            raise ValueError(f"expected {cls.NAME}, got {name}")
+        (plen,) = struct.unpack_from("<I", mv, off)
+        off += 4
+        params = params_from_json(bytes(mv[off : off + plen]).decode())
+        off += plen
+        n_items, n_tiers = struct.unpack_from("<QB", mv, off)
+        off += 9
+        tiers = []
+        for _ in range(n_tiers):
+            (blen,) = struct.unpack_from("<Q", mv, off)
+            off += 8
+            tiers.append(TimingBloomFilter.from_bytes(bytes(mv[off : off + blen])))
+            off += blen
+        return cls(params, tiers, int(n_items))

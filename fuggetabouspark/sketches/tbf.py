@@ -1,0 +1,121 @@
+"""TimingBloomFilter — per-bucket last-seen tick with window decay.
+
+Reimplements the semantics of upstream fuggetaboutit's
+TimingBloomFilter (SURVEY.md §2.2,
+[U:fuggetaboutit/timing_bloom_filter.py]): each Bloom bucket stores an
+insertion-time tick (0 = empty); a key is "seen within the window" iff
+all k of its buckets hold ticks inside ``[now - window + 1, now]``;
+``decay`` zeroes buckets whose tick fell out of the window.
+
+Deliberate divergences for distributed associativity (SURVEY.md §7.6):
+- ticks are **absolute int64 event-time tick numbers**, not a small
+  wall-clock ring — removes ring-wraparound ambiguity, and makes merge
+  a plain elementwise ``max`` (associative, commutative, idempotent →
+  byte-identical under any merge tree and resume-safe);
+- there is no IOLoop: upstream schedules ``decay()`` every
+  decay_time/2 on a tornado timer; here ``now`` is a query parameter
+  and decay is a pure function applied at query/compaction time.
+
+Window-membership answers are identical to upstream's for the same
+(inserts, ticks, now): a bucket passes iff its latest stamp is within
+the window, which is exactly what storing the max tick computes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..hashing import bloom_indexes
+from ..params import TimingParams, params_from_json, params_to_json
+from .base import Sketch, pack, unpack
+
+
+class TimingBloomFilter(Sketch):
+    NAME = "tbf"
+
+    def __init__(self, params: TimingParams, ticks: np.ndarray | None = None, n_items: int = 0):
+        self.params = params
+        self.m, self.k = params.m, params.k
+        self.window = int(params.window_ticks)
+        self.ticks = ticks if ticks is not None else np.zeros(self.m, dtype=np.int64)
+        self.n_items = int(n_items)
+
+    @classmethod
+    def zero(cls, params: TimingParams) -> "TimingBloomFilter":
+        return cls(params)
+
+    # ---- update ----
+    def add_batch(self, keys: np.ndarray, key_ticks: np.ndarray | int) -> "TimingBloomFilter":
+        """Stamp k buckets per key with max(bucket, tick), whole batch.
+
+        Vectorization trick: group keys by distinct tick (few per batch)
+        in ascending order; within a group every scatter value is the
+        same scalar, so ``ticks[idx] = maximum(ticks[idx], t)`` is an
+        exact elementwise max even with duplicate indexes — no slow
+        ``np.maximum.at`` needed. Ascending order makes later (larger)
+        groups win ties against earlier ones, which is also max.
+        """
+        keys = np.asarray(keys)
+        if keys.size == 0:
+            return self
+        if np.ndim(key_ticks) == 0:
+            tick = int(key_ticks)
+            if tick <= 0:
+                raise ValueError("ticks must be positive (0 means empty bucket)")
+            idx = bloom_indexes(keys, self.k, self.m).ravel()
+            self.ticks[idx] = np.maximum(self.ticks[idx], tick)
+        else:
+            kt = np.asarray(key_ticks, dtype=np.int64)
+            if kt.shape != keys.shape:
+                raise ValueError("keys and key_ticks must align")
+            if kt.size and int(kt.min()) <= 0:
+                raise ValueError("ticks must be positive (0 means empty bucket)")
+            for t in np.unique(kt):  # ascending
+                sel = keys[kt == t]
+                idx = bloom_indexes(sel, self.k, self.m).ravel()
+                self.ticks[idx] = np.maximum(self.ticks[idx], int(t))
+        self.n_items += int(keys.size)
+        return self
+
+    # ---- query ----
+    def contains_batch(self, keys: np.ndarray, now: int) -> np.ndarray:
+        """all k buckets nonzero AND within [now - window + 1, now]."""
+        keys = np.asarray(keys)
+        if keys.size == 0:
+            return np.zeros(0, dtype=bool)
+        cutoff = now - self.window + 1
+        got = self.ticks[bloom_indexes(keys, self.k, self.m)]
+        oldest = got.min(axis=1)
+        return oldest >= max(cutoff, 1)
+
+    def decay(self, now: int) -> "TimingBloomFilter":
+        """Zero buckets outside the window — pure, idempotent."""
+        cutoff = now - self.window + 1
+        if cutoff > 1:
+            self.ticks[self.ticks < cutoff] = 0
+        return self
+
+    def fill_ratio(self) -> float:
+        return float(np.count_nonzero(self.ticks)) / self.m
+
+    def __len__(self) -> int:
+        return self.n_items
+
+    # ---- merge: elementwise max (associative, commutative, idempotent) ----
+    def merge(self, other: "TimingBloomFilter") -> "TimingBloomFilter":
+        if other.params != self.params:
+            raise ValueError("geometry mismatch in TBF merge")
+        return TimingBloomFilter(
+            self.params, np.maximum(self.ticks, other.ticks), self.n_items + other.n_items
+        )
+
+    # ---- serialization ----
+    def to_bytes(self) -> bytes:
+        return pack(self.NAME, params_to_json(self.params), self.n_items, [self.ticks])
+
+    @classmethod
+    def from_bytes(cls, buf: bytes) -> "TimingBloomFilter":
+        name, pj, n_items, arrays = unpack(buf)
+        if name != cls.NAME:
+            raise ValueError(f"expected {cls.NAME}, got {name}")
+        return cls(params_from_json(pj), arrays[0].astype(np.int64, copy=False), n_items)

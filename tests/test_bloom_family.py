@@ -1,0 +1,171 @@
+"""Reference-semantics tests for the three Bloom-family structures —
+the behaviors pinned by upstream fuggetaboutit's own suite
+(SURVEY.md §5.1): FPR bound, zero false negatives in-window, expiry
+after decay, scaling growth, save/load round-trip.
+"""
+
+import numpy as np
+import pytest
+
+from fuggetabouspark.params import BloomParams, ScalingParams, TimingParams
+from fuggetabouspark.sketches import (
+    CountingBloomFilter,
+    ScalingTimingBloomFilter,
+    TimingBloomFilter,
+    sketch_from_bytes,
+)
+
+CAP = 20_000
+ERR = 0.005
+
+
+def _present_absent(rng, n=CAP):
+    present = rng.choice(10**8, size=n, replace=False).astype(np.int64)
+    absent = (np.arange(50_000) + 10**9).astype(np.int64)  # disjoint by construction
+    return present, absent
+
+
+# ---------------- CountingBloomFilter ----------------
+
+
+class TestCBF:
+    def test_no_false_negatives_and_fpr(self, rng):
+        present, absent = _present_absent(rng)
+        f = CountingBloomFilter.zero(BloomParams(CAP, ERR)).add_batch(present)
+        assert f.contains_batch(present).all(), "CBF must have zero false negatives"
+        fpr = f.contains_batch(absent).mean()
+        assert fpr <= ERR * 1.5, f"FPR {fpr} exceeds bound {ERR}"
+
+    def test_remove(self, rng):
+        present, _ = _present_absent(rng, n=1000)
+        f = CountingBloomFilter.zero(BloomParams(CAP, ERR)).add_batch(present)
+        f.remove_batch(present[:500])
+        # removed keys drop out (up to FPR-level residue from other keys)
+        assert f.contains_batch(present[:500]).mean() <= 0.05
+        assert f.contains_batch(present[500:]).all(), "remove must not evict other keys"
+
+    def test_estimate_size(self, rng):
+        present, _ = _present_absent(rng)
+        f = CountingBloomFilter.zero(BloomParams(CAP, ERR)).add_batch(present)
+        assert len(f) == CAP
+        assert abs(f.estimate_size() - CAP) / CAP < 0.05
+
+    def test_roundtrip(self, rng):
+        present, _ = _present_absent(rng, n=100)
+        f = CountingBloomFilter.zero(BloomParams(CAP, ERR)).add_batch(present)
+        g = sketch_from_bytes(f.to_bytes())
+        assert g == f and g.to_bytes() == f.to_bytes()
+
+    def test_merge_is_counter_add(self, rng):
+        present, _ = _present_absent(rng, n=2000)
+        p = BloomParams(CAP, ERR)
+        whole = CountingBloomFilter.zero(p).add_batch(present)
+        a = CountingBloomFilter.zero(p).add_batch(present[:1000])
+        b = CountingBloomFilter.zero(p).add_batch(present[1000:])
+        assert a.merge(b).to_bytes() == whole.to_bytes()
+
+    def test_saturation_associative(self):
+        p = BloomParams(100, 0.01)
+        ones = np.zeros(3, dtype=np.int64) + 7
+        parts = [
+            CountingBloomFilter.zero(p).add_batch(np.repeat(ones, 30000))
+            for _ in range(3)
+        ]
+        ab_c = parts[0].merge(parts[1]).merge(parts[2])
+        a_bc = parts[0].merge(parts[1].merge(parts[2]))
+        assert ab_c.to_bytes() == a_bc.to_bytes()
+        assert int(ab_c.counts.max()) == 0xFFFF  # actually saturated
+
+
+# ---------------- TimingBloomFilter ----------------
+
+
+class TestTBF:
+    def test_window_membership(self, rng):
+        present, absent = _present_absent(rng)
+        p = TimingParams(CAP, ERR, window_ticks=10)
+        f = TimingBloomFilter.zero(p)
+        f.add_batch(present[: CAP // 2], 4)   # old: outside [5..14] at now=14
+        f.add_batch(present[CAP // 2 :], 14)  # recent
+        now = 14
+        seen = f.contains_batch(present, now)
+        assert seen[CAP // 2 :].all(), "zero false negatives within window"
+        assert seen[: CAP // 2].mean() <= ERR * 1.5, "tick-4 items expired at now=14 (window 10)"
+        assert f.contains_batch(absent, now).mean() <= ERR * 1.5
+
+    def test_expiry_after_decay(self, rng):
+        present, _ = _present_absent(rng)
+        p = TimingParams(CAP, ERR, window_ticks=10)
+        f = TimingBloomFilter.zero(p).add_batch(present, 1)
+        assert f.contains_batch(present, now=10).all()
+        f.decay(now=100)
+        assert f.ticks.sum() == 0, "decay past window must zero every bucket"
+        assert not f.contains_batch(present, now=100).any()
+
+    def test_latest_sighting_wins(self, rng):
+        present, _ = _present_absent(rng, n=100)
+        p = TimingParams(CAP, ERR, window_ticks=10)
+        f = TimingBloomFilter.zero(p)
+        f.add_batch(present, 1)
+        f.add_batch(present, 50)  # re-sighted later
+        assert f.contains_batch(present, now=55).all(), "re-sighting must refresh expiry"
+
+    def test_merge_max_idempotent_commutative(self, rng):
+        present, _ = _present_absent(rng, n=2000)
+        p = TimingParams(CAP, ERR, window_ticks=100)
+        a = TimingBloomFilter.zero(p).add_batch(present[:1000], 3)
+        b = TimingBloomFilter.zero(p).add_batch(present[1000:], 7)
+        assert a.merge(b).ticks.tobytes() == b.merge(a).ticks.tobytes()
+        aa = a.merge(a)
+        assert aa.ticks.tobytes() == a.ticks.tobytes(), "max-merge is idempotent on state"
+
+    def test_roundtrip(self, rng):
+        present, _ = _present_absent(rng, n=100)
+        f = TimingBloomFilter.zero(TimingParams(CAP, ERR, window_ticks=9)).add_batch(present, 4)
+        g = sketch_from_bytes(f.to_bytes())
+        assert g == f
+
+
+# ---------------- ScalingTimingBloomFilter ----------------
+
+
+class TestSTBF:
+    def test_growth_and_membership(self, rng):
+        p = ScalingParams(capacity=1000, error=0.01, window_ticks=1 << 30)
+        f = ScalingTimingBloomFilter.zero(p)
+        present = rng.choice(10**8, size=10_000, replace=False).astype(np.int64)
+        f.add_batch(present, 1)
+        assert len(f.tiers) > 1, "inserting 10x capacity must grow tiers"
+        assert f.contains_batch(present, now=1).all(), "zero false negatives across tiers"
+        absent = (np.arange(50_000) + 10**9).astype(np.int64)
+        fpr = f.contains_batch(absent, now=1).mean()
+        assert fpr <= p.error * 1.5, f"scaled FPR {fpr} exceeds total budget {p.error}"
+        assert f.expected_error() <= p.error
+
+    def test_decay_and_tier_drop(self, rng):
+        p = ScalingParams(capacity=1000, error=0.01, window_ticks=5)
+        f = ScalingTimingBloomFilter.zero(p)
+        old = rng.choice(10**7, size=3000, replace=False).astype(np.int64)
+        new = (rng.choice(10**7, size=500, replace=False) + 2 * 10**7).astype(np.int64)
+        f.add_batch(old, 1)
+        f.add_batch(new, 20)
+        f.decay(now=20)
+        assert not f.contains_batch(old, now=20).any() or f.contains_batch(old, now=20).mean() <= p.error * 1.5
+        assert f.contains_batch(new, now=20).all()
+
+    def test_merge_tierwise(self, rng):
+        p = ScalingParams(capacity=1000, error=0.01)
+        xs = rng.choice(10**8, size=6000, replace=False).astype(np.int64)
+        a = ScalingTimingBloomFilter.zero(p).add_batch(xs[:4000], 2)
+        b = ScalingTimingBloomFilter.zero(p).add_batch(xs[4000:], 3)
+        m = a.merge(b)
+        assert m.contains_batch(xs, now=3).all()
+        assert m.merge(m).tiers and a.merge(b).to_bytes() == b.merge(a).to_bytes()
+
+    def test_roundtrip(self, rng):
+        p = ScalingParams(capacity=500, error=0.01, window_ticks=7)
+        xs = rng.choice(10**8, size=2000, replace=False).astype(np.int64)
+        f = ScalingTimingBloomFilter.zero(p).add_batch(xs, 3)
+        g = sketch_from_bytes(f.to_bytes())
+        assert g == f
+        assert len(g.tiers) == len(f.tiers)
