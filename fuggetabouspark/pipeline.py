@@ -1,0 +1,315 @@
+"""The distributed build pipeline (SURVEY.md §3.2).
+
+    read corpus ──► repartition(P, source ⊕ salt)      explicit shuffle,
+                                                        skew-salted
+      ──► mapInArrow(update)                            Arrow batches →
+            ListArray.flatten() → numpy scatter         explode-free, no
+            ONE partial sketch row per (spec×group)     per-row Python
+            per partition (+ one lineage row)
+      ──► groupBy(spec, group, salt).applyInPandas      stage-1 merge
+      ──► groupBy(spec, group).applyInPandas            stage-2 merge
+      ──► final sketch rows (spec, group, payload, n_items)
+
+Why two merge stages: AQE's skew handling does not cover skewed
+groupBy().applyInPandas, so the hot group ("web" is 80% of the corpus,
+FIXTURES.md) is first merged per (group, salt) — #partials/salt_mod
+rows per stage-1 task — then the tiny per-salt partials collapse in
+stage 2 (SURVEY.md §4.2). All merges are the sketches' own
+commutative-monoid merge, so any ordering tree yields identical bytes.
+
+The per-token hot path is pure numpy on flattened Arrow buffers:
+`ListArray.flatten()` is zero-copy; per-row ticks broadcast to tokens
+via `np.repeat(ticks, diff(offsets))`. No explode, no Python loop over
+rows or tokens (BASELINE.json:6 "explode-free flat_map over tokens").
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from typing import Any, Iterable
+
+import numpy as np
+
+from .hashing import hash64_strings, splitmix64
+from .params import params_from_json, params_to_json
+from .sketches import REGISTRY, Sketch, sketch_from_bytes
+
+PARTIAL_DDL = (
+    "spec string, group string, salt int, payload binary, n_items long"
+)
+LINEAGE_SPEC = "_lineage"
+GROUP_SEP = "\x1f"
+
+
+@dataclass(frozen=True)
+class SketchSpec:
+    """What to sketch: which accumulator, over which value stream.
+
+    value: "tokens"  → every token (flattened, explode-free)
+           "doc_id"  → one hashed key per row
+           "n_tok"   → one numeric value per row (quantile sketches)
+    """
+
+    name: str
+    kind: str  # key in sketches.REGISTRY
+    params: Any
+    value: str = "tokens"
+
+    def zero(self) -> Sketch:
+        return REGISTRY[self.kind].zero(self.params)
+
+
+def _tick_array(tbl, n: int) -> np.ndarray:
+    if "tick" in tbl.schema.names:
+        return tbl.column("tick").to_numpy(zero_copy_only=False).astype(np.int64)
+    return np.ones(n, dtype=np.int64)
+
+
+def _values_for(spec: SketchSpec, tbl, row_ticks: np.ndarray):
+    """(values, ticks) aligned 1:1 for this spec's value stream."""
+    if spec.value == "tokens":
+        col = tbl.column("tokens")
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        counts = np.diff(col.offsets.to_numpy(zero_copy_only=False).astype(np.int64))
+        return flat, np.repeat(row_ticks, counts)
+    if spec.value == "doc_id":
+        keys = hash64_strings(tbl.column("doc_id").to_pylist()).astype(np.int64)
+        return keys, row_ticks
+    if spec.value == "n_tok":
+        return tbl.column("n_tok").to_numpy(zero_copy_only=False).astype(np.float64), row_ticks
+    raise ValueError(f"unknown value stream {spec.value}")
+
+
+def _apply_update(sk: Sketch, spec: SketchSpec, vals: np.ndarray, ticks: np.ndarray) -> Sketch:
+    kind = spec.kind
+    if kind in ("tbf", "stbf"):
+        sk.add_batch(vals, ticks)
+    elif kind in ("cbf", "hll", "cms"):
+        sk.add_batch(vals.astype(np.int64, copy=False))
+    elif kind in ("tdigest", "kll"):
+        sk.add_batch(vals.astype(np.float64, copy=False))
+    else:
+        raise ValueError(f"unknown sketch kind {kind}")
+    return sk
+
+
+def make_update_fn(specs: list[SketchSpec], group_cols: tuple[str, ...], salt_mod: int):
+    """Build the mapInArrow update function: consumes a partition's
+    Arrow batches, maintains one sketch per (spec, group), emits one
+    partial row per state plus a lineage row (SURVEY.md §3.3)."""
+    spec_list = [(s, params_to_json(s.params)) for s in specs]
+
+    def update(iterator: Iterable) -> Iterable:
+        import pyarrow as pa
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        states: dict[tuple[int, str], Sketch] = {}
+        n_rows = 0
+        n_tokens = 0
+        token_digest = np.uint64(0)
+
+        for tbl in iterator:
+            nb = tbl.num_rows
+            if nb == 0:
+                continue
+            n_rows += nb
+            row_ticks = _tick_array(tbl, nb)
+            # group rows by the group-key tuple (usually just source)
+            if group_cols:
+                import pandas as pd
+
+                gk = tbl.column(group_cols[0]).to_pandas()
+                for c in group_cols[1:]:
+                    gk = gk.astype(str) + GROUP_SEP + tbl.column(c).to_pandas().astype(str)
+                codes, uniques = pd.factorize(gk)
+            else:
+                codes, uniques = np.zeros(nb, dtype=np.int64), [""]
+            # ingest-invariant digest: order-independent XOR of per-row
+            # token-content hashes (BASELINE.json:15 token-array equality)
+            tok_col = tbl.column("tokens")
+            flat_all = tok_col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+            counts_all = np.diff(tok_col.offsets.to_numpy(zero_copy_only=False).astype(np.int64))
+            n_tokens += int(flat_all.size)
+            # per-row digest = (sum of token mixes) + mix(row length), all
+            # wrapping mod 2^64; row sums via prefix-sum differencing
+            # (exact under wraparound, no reduceat edge cases); partition
+            # digest = XOR of row digests (order-independent)
+            with np.errstate(over="ignore"):
+                row_mix = splitmix64(flat_all.astype(np.uint64))
+                ps = np.concatenate([np.zeros(1, np.uint64), np.cumsum(row_mix, dtype=np.uint64)])
+                bounds = np.concatenate([np.zeros(1, np.int64), np.cumsum(counts_all)])
+                row_sums = ps[bounds[1:]] - ps[bounds[:-1]]
+                row_sums += splitmix64(counts_all.astype(np.uint64))
+                if row_sums.size:
+                    token_digest ^= np.bitwise_xor.reduce(row_sums)
+
+            for gi, gval in enumerate(uniques):
+                mask = codes == gi
+                sub = tbl.filter(pa.array(mask)) if len(uniques) > 1 else tbl
+                sub_ticks = row_ticks[mask] if len(uniques) > 1 else row_ticks
+                for si, (spec, _) in enumerate(spec_list):
+                    vals, ticks = _values_for(spec, sub, sub_ticks)
+                    key = (si, str(gval))
+                    sk = states.get(key)
+                    if sk is None:
+                        sk = states[key] = spec.zero()
+                    _apply_update(sk, spec, vals, ticks)
+
+        rows = {
+            "spec": [], "group": [], "salt": [], "payload": [], "n_items": [],
+        }
+        for (si, gval), sk in sorted(states.items(), key=lambda kv: (kv[0][0], kv[0][1])):
+            rows["spec"].append(spec_list[si][0].name)
+            rows["group"].append(gval)
+            rows["salt"].append(pid % salt_mod)
+            rows["payload"].append(sk.to_bytes())
+            rows["n_items"].append(sk.n_items)
+        # lineage row: one per task partial
+        lineage = {
+            "partition_id": pid,
+            "n_rows": n_rows,
+            "n_tokens": n_tokens,
+            "token_digest": int(token_digest),
+        }
+        rows["spec"].append(LINEAGE_SPEC)
+        rows["group"].append("")
+        rows["salt"].append(pid % salt_mod)
+        rows["payload"].append(json.dumps(lineage, sort_keys=True).encode())
+        rows["n_items"].append(n_rows)
+        yield pa.RecordBatch.from_pydict(
+            rows,
+            schema=pa.schema(
+                [
+                    ("spec", pa.string()),
+                    ("group", pa.string()),
+                    ("salt", pa.int32()),
+                    ("payload", pa.binary()),
+                    ("n_items", pa.int64()),
+                ]
+            ),
+        )
+
+    return update
+
+
+def _merge_pdf(pdf):
+    """applyInPandas merge: fold a group's partials with the sketch's
+    own monoid merge (order-invariant by construction, tested)."""
+    import pandas as pd
+
+    payloads = pdf["payload"].tolist()
+    if pdf["spec"].iloc[0] == LINEAGE_SPEC:
+        # lineage rows pass through unmerged, one per original partial
+        return pdf[["spec", "group", "salt", "payload", "n_items"]]
+    acc = sketch_from_bytes(payloads[0])
+    for p in payloads[1:]:
+        acc = acc.merge(sketch_from_bytes(p))
+    return pd.DataFrame(
+        {
+            "spec": [pdf["spec"].iloc[0]],
+            "group": [pdf["group"].iloc[0]],
+            "salt": [0],
+            "payload": [acc.to_bytes()],
+            "n_items": [acc.n_items],
+        }
+    )
+
+
+def build_sketches(
+    df,
+    specs: list[SketchSpec],
+    group_cols: tuple[str, ...] = ("source",),
+    tick_col=None,
+    partitions: int | None = None,
+    salt_mod: int = 16,
+):
+    """Run the full build: returns a DataFrame of final sketch rows
+    (spec, group, payload, n_items) plus passthrough lineage rows.
+
+    - ``tick_col``: a Column expression evaluated as int64 event-time
+      tick per row (default: constant 1). Making time an explicit
+      column keeps decay deterministic (SURVEY.md §7.6).
+    - ``partitions``: explicit repartition width; default
+      2 × defaultParallelism (BASELINE.json:6 explicit repartitioning).
+    - ``salt_mod``: stage-1 salt fan-out for hot groups.
+    """
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    if partitions is None:
+        partitions = 2 * spark.sparkContext.defaultParallelism
+    cols = list(dict.fromkeys([*group_cols, "doc_id", "tokens", "n_tok"]))
+    sel = df.select(*cols, (tick_col if tick_col is not None else F.lit(1)).cast("long").alias("tick"))
+    # explicit skew-salted shuffle: spread each hot group over many
+    # partitions; the salt is a deterministic hash of doc_id
+    salted = sel.repartition(
+        partitions, *[F.col(c) for c in group_cols], F.pmod(F.xxhash64("doc_id"), F.lit(partitions))
+    )
+    partials = salted.mapInArrow(
+        make_update_fn(specs, group_cols, salt_mod), schema=PARTIAL_DDL
+    )
+    stage1 = partials.groupBy("spec", "group", "salt").applyInPandas(_merge_pdf, schema=PARTIAL_DDL)
+    final = stage1.groupBy("spec", "group").applyInPandas(_merge_pdf, schema=PARTIAL_DDL)
+    return final.select("spec", "group", "payload", "n_items")
+
+
+def merge_rows_to_sketches(rows) -> dict[tuple[str, str], Sketch]:
+    """Collect final sketch rows into {(spec, group): sketch}. Sketch
+    state is O(m) per group — safe to hold on the driver."""
+    out: dict[tuple[str, str], Sketch] = {}
+    for r in rows:
+        if r["spec"] == LINEAGE_SPEC:
+            continue
+        key = (r["spec"], r["group"])
+        sk = sketch_from_bytes(bytes(r["payload"]))
+        out[key] = out[key].merge(sk) if key in out else sk
+    return out
+
+
+def lineage_from_rows(rows) -> list[dict]:
+    """Parse the per-partition lineage rows out of collected output."""
+    return [
+        json.loads(bytes(r["payload"]))
+        for r in rows
+        if r["spec"] == LINEAGE_SPEC
+    ]
+
+
+def corpus_digest(rows) -> int:
+    """Order-independent ingest digest: XOR of per-row token-content
+    hashes across all partitions. Equal digests ⇒ the pipeline saw the
+    same multiset of token arrays (BASELINE.json:15 per-row invariant),
+    regardless of partitioning/shuffles."""
+    d = 0
+    for entry in lineage_from_rows(rows):
+        d ^= entry["token_digest"]
+    return d
+
+
+def tree_merge_global(partials_df, spec_name: str, depth: int | None = None) -> Sketch:
+    """Single global sketch via RDD.treeAggregate (log-depth fan-in,
+    no driver bottleneck single-reduce; SURVEY.md §4.2)."""
+    rdd = (
+        partials_df.where(f"spec = '{spec_name}'")
+        .select("payload")
+        .rdd.map(lambda r: bytes(r[0]))
+    )
+    nparts = max(1, rdd.getNumPartitions())
+    if depth is None:
+        depth = max(2, int(np.ceil(np.log(max(nparts, 4)) / np.log(4))))
+
+    def seq(acc, b):
+        sk = sketch_from_bytes(b)
+        return sk if acc is None else acc.merge(sk)
+
+    def comb(a, b):
+        if a is None:
+            return b
+        if b is None:
+            return a
+        return a.merge(b)
+
+    return rdd.treeAggregate(None, seq, comb, depth=depth)

@@ -1,0 +1,161 @@
+"""User-facing query verbs over built sketch state (SURVEY.md §2.4).
+
+All verbs answer from merged sketch rows; probe evaluation is
+vectorized numpy. Small probe sets are answered driver-side (state is
+O(m) per group); ``seen_within_distributed`` broadcasts the sketch
+payloads and probes via mapInArrow for probe sets too large to
+collect.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .pipeline import SketchSpec, build_sketches, merge_rows_to_sketches
+from .sketches import Sketch, sketch_from_bytes
+
+SEEN_DDL = "group string, key long, seen boolean"
+
+
+def seen_within(
+    sketches: dict[tuple[str, str], Sketch],
+    spec_name: str,
+    probes: np.ndarray,
+    now: int,
+    window: int | None = None,
+    groups: list[str] | None = None,
+):
+    """'has token X been seen in the last W ticks, per source
+    partition' (BASELINE.json:6). Zero false negatives in-window; FPR
+    <= the sketch's configured bound.
+
+    ``window`` defaults to the sketch's own window_ticks; passing a
+    smaller value narrows the question without rebuilding (ticks are
+    absolute, so any W <= window_ticks is answerable exactly).
+    """
+    probes = np.asarray(probes, dtype=np.int64)
+    out = []
+    for (sname, group), sk in sorted(sketches.items()):
+        if sname != spec_name or (groups is not None and group not in groups):
+            continue
+        if window is not None and window != sk_window(sk):
+            sk = _with_window(sk, window)
+        seen = sk.contains_batch(probes, now)
+        out.extend((group, int(k), bool(s)) for k, s in zip(probes, seen))
+    return out
+
+
+def sk_window(sk: Sketch) -> int:
+    return int(sk.params.window_ticks)
+
+
+def _with_window(sk: Sketch, window: int) -> Sketch:
+    """Re-parameterize the query window (geometry unchanged)."""
+    from dataclasses import replace
+
+    out = type(sk).__new__(type(sk))
+    out.__dict__.update(sk.__dict__)
+    out.params = replace(sk.params, window_ticks=window)
+    if hasattr(out, "window"):
+        out.window = window
+    if hasattr(out, "tiers"):
+        out.tiers = [_with_window(t, window) for t in sk.tiers]
+    return out
+
+
+def seen_within_df(spark, sketches, spec_name, probes, now, window=None, groups=None):
+    rows = seen_within(sketches, spec_name, probes, now, window, groups)
+    return spark.createDataFrame(rows, SEEN_DDL)
+
+
+def seen_within_distributed(spark, state_df, spec_name, probes_df, now, key_col="key"):
+    """Probe a built sketch with a DataFrame of keys: broadcast the
+    (small) sketch payloads, mapInArrow over the (large) probe set.
+    This is the scale path — probes never leave the executors."""
+    import pyarrow as pa
+
+    rows = state_df.where(f"spec = '{spec_name}'").select("group", "payload").collect()
+    payloads = [(r["group"], bytes(r["payload"])) for r in rows]
+    bc = spark.sparkContext.broadcast(payloads)
+
+    def probe(iterator):
+        sks = [(g, sketch_from_bytes(p)) for g, p in bc.value]
+        for tbl in iterator:
+            keys = tbl.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            for g, sk in sks:
+                yield pa.RecordBatch.from_pydict(
+                    {
+                        "group": pa.array([g] * len(keys), pa.string()),
+                        "key": pa.array(keys, pa.int64()),
+                        "seen": pa.array(sk.contains_batch(keys, now)),
+                    }
+                )
+
+    return probes_df.mapInArrow(probe, schema=SEEN_DDL)
+
+
+def decayed_cardinality(
+    sketches: dict[tuple[str, str], Sketch],
+    spec_name: str,
+    now: int,
+    window: int,
+    bucket_ticks: int,
+):
+    """Distinct keys seen in (now-window, now]: union the per
+    (group, tick-bucket) HLL ring buckets that overlap the window,
+    then estimate (SURVEY.md §2.4). Group key layout: 'source\\x1fbucket'."""
+    from .pipeline import GROUP_SEP
+
+    lo = (now - window) // bucket_ticks  # first bucket overlapping window
+    hi = now // bucket_ticks
+    acc: dict[str, Sketch] = {}
+    for (sname, group), sk in sketches.items():
+        if sname != spec_name:
+            continue
+        src, _, bucket = group.rpartition(GROUP_SEP)
+        if not src:
+            src, bucket = "", bucket
+        b = int(bucket)
+        if lo <= b <= hi:
+            acc[src] = acc[src].merge(sk) if src in acc else sk
+    return {src: sk.estimate() for src, sk in sorted(acc.items())}
+
+
+def multiplicity(sketches, spec_name: str, keys: np.ndarray) -> dict[str, np.ndarray]:
+    """Approximate per-group frequencies from the CMS (point query =
+    min over d rows; overcount <= eps*N w.p. 1-delta)."""
+    keys = np.asarray(keys, dtype=np.int64)
+    return {
+        group: sk.query_batch(keys)
+        for (sname, group), sk in sorted(sketches.items())
+        if sname == spec_name
+    }
+
+
+def quantiles(sketches, spec_name: str, qs) -> dict[str, np.ndarray]:
+    """Per-group quantiles from t-digest/KLL state."""
+    qs = np.asarray(qs, dtype=np.float64)
+    return {
+        group: sk.compressed().quantiles(qs) if hasattr(sk, "compressed") else sk.quantiles(qs)
+        for (sname, group), sk in sorted(sketches.items())
+        if sname == spec_name
+    }
+
+
+def heavy_hitters(
+    cms_sketches,
+    cms_spec: str,
+    candidates: dict[str, np.ndarray],
+    k: int,
+) -> dict[str, list[tuple[int, int]]]:
+    """Top-k per group: exact local candidates scored by the merged
+    CMS (classic distributed top-k; SURVEY.md §2.4)."""
+    out = {}
+    for (sname, group), sk in sorted(cms_sketches.items()):
+        if sname != cms_spec or group not in candidates:
+            continue
+        cand = np.unique(np.asarray(candidates[group], dtype=np.int64))
+        est = sk.query_batch(cand)
+        order = np.lexsort((cand, -est))[:k]
+        out[group] = [(int(cand[i]), int(est[i])) for i in order]
+    return out

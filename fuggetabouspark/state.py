@@ -1,0 +1,103 @@
+"""Checkpointed, resumable builds with per-shard lineage
+(SURVEY.md §3.3; BASELINE.json:6 "per-partition lineage rows and
+checkpointed sketch state for resumable runs").
+
+Granularity: the input is split into ``n_shards`` deterministic shards
+by ``pmod(xxhash64(doc_id), n_shards)``. Each shard is built and its
+final per-shard sketch rows + lineage row are appended to the
+checkpoint directory; a lineage row is only visible after its shard's
+sketch rows were durably written (written in the same job, lineage
+last). Resume lists completed shard ids from lineage and anti-joins
+them away — a killed run re-does at most one shard. The final answer
+merges every shard's sketch rows; correctness under retries holds
+because shard partials are deduplicated by (spec, group, shard) before
+the merge, so a half-written retry can never double-count.
+
+At cluster scale, shards double as a unit of incremental ingest: a new
+partition of an Iceberg table is just one more shard appended to the
+same checkpoint.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from .pipeline import LINEAGE_SPEC, SketchSpec, build_sketches, merge_rows_to_sketches
+
+SHARD_DDL = "spec string, group string, payload binary, n_items long, shard int"
+
+
+def _paths(checkpoint_dir: str) -> tuple[str, str]:
+    return os.path.join(checkpoint_dir, "sketch_state"), os.path.join(checkpoint_dir, "lineage")
+
+
+def completed_shards(spark, checkpoint_dir: str) -> set[int]:
+    _, lineage_path = _paths(checkpoint_dir)
+    try:
+        rows = spark.read.parquet(lineage_path).select("shard").distinct().collect()
+    except Exception:
+        return set()
+    return {r["shard"] for r in rows}
+
+
+def build_resumable(
+    spark,
+    df,
+    specs: list[SketchSpec],
+    checkpoint_dir: str,
+    n_shards: int = 8,
+    group_cols: tuple[str, ...] = ("source",),
+    tick_col=None,
+    partitions: int | None = None,
+    salt_mod: int = 16,
+    fail_after_shard: int | None = None,
+):
+    """Build shard-by-shard with checkpointing; safe to re-invoke after
+    a crash — completed shards are skipped via the lineage anti-join.
+
+    ``fail_after_shard`` deliberately raises after N shards (test hook
+    for the kill-and-resume gate in BASELINE.md).
+    Returns the merged final sketch rows as a list of pyspark Rows.
+    """
+    from pyspark.sql import functions as F
+
+    state_path, lineage_path = _paths(checkpoint_dir)
+    done = completed_shards(spark, checkpoint_dir)
+    shard_col = F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)).cast("int")
+
+    built = 0
+    for shard in range(n_shards):
+        if shard in done:
+            continue
+        sub = df.where(shard_col == shard)
+        final = build_sketches(
+            sub, specs, group_cols=group_cols, tick_col=tick_col,
+            partitions=partitions, salt_mod=salt_mod,
+        ).withColumn("shard", F.lit(shard))
+        # sketch rows first, lineage row last: a shard is only
+        # "completed" once its state is durable
+        sketch_rows = final.where(F.col("spec") != LINEAGE_SPEC)
+        sketch_rows.write.mode("append").parquet(state_path)
+        meta = {"shard": shard, "n_shards": n_shards, "specs": [s.name for s in specs]}
+        spark.createDataFrame(
+            [(shard, json.dumps(meta, sort_keys=True))], "shard int, meta string"
+        ).write.mode("append").parquet(lineage_path)
+        built += 1
+        if fail_after_shard is not None and built >= fail_after_shard:
+            raise RuntimeError(f"injected failure after shard {shard}")
+    return load_state(spark, checkpoint_dir)
+
+
+def load_state(spark, checkpoint_dir: str):
+    """Read checkpointed shard rows, dedupe retries, return
+    {(spec, group): merged sketch}."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    state_path, _ = _paths(checkpoint_dir)
+    df = spark.read.parquet(state_path)
+    # dedupe half-written retries: keep one row per (spec, group, shard)
+    w = Window.partitionBy("spec", "group", "shard").orderBy(F.col("n_items").desc())
+    df = df.withColumn("_rn", F.row_number().over(w)).where("_rn = 1").drop("_rn")
+    return merge_rows_to_sketches(df.collect())

