@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+queries() entries map 1:1 to implemented operators (SURVEY.md §2):
+the sketch verbs flow through the real distributed pipeline
+(build_sketches → merge → probe), the dataops entries through
+fuggetabouspark.dataops, and the relational plumbing through plain
+DataFrame ops. Every oracle is designed for EXACT cross-engine parity:
+booleans/ints only (cents instead of float sums, 4×-scaled quantiles,
+bool window membership), so value-hash comparison is meaningful.
+
+Approximate estimators (HLL/t-digest/KLL estimates, LSH candidates)
+are rows-only by design — their correctness is pinned against exact
+answers in tests/ with published error bounds instead.
 """
 
 from __future__ import annotations
@@ -12,27 +18,529 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# probe vocabulary for membership queries: present-ish common generator
+# words + guaranteed-absent ones
+PROBE_WORDS = sorted(
+    [
+        "the", "fast", "key", "order", "sort", "table", "scan", "merge",
+        "part", "window", "small", "hash", "join", "spark", "group",
+        "query", "row", "data", "slow", "filter", "customer", "line",
+        "batch", "value",
+    ]
+    + [f"zzzq{i}" for i in range(8)]
+)
+WINDOW = 50   # ticks
+NOW = 100     # tick of "now"; tick(doc) = doc_id % 100 + 1
+STOPWORDS = ("the", "and", "of", "a", "to", "in")
+
+
+def _ship(spark: SparkSession) -> None:
+    from fuggetabouspark.session import ship_package
+
+    ship_package(spark)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → input_hint-shaped corpus: tokens are 64-bit word
+    hashes (collision-free key space so word-truth == token-truth),
+    tick = doc_id % 100 + 1 (deterministic event time, FIXTURES.md §2)."""
+    _ship(spark)
+    docs = _docs(spark, sf_dir)
+    words = F.split(F.col("text"), " ")
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.transform(words, lambda w: F.xxhash64(w)).alias("tokens"),
+        F.size(words).cast("int").alias("n_tok"),
+        "source",
+        (F.col("doc_id") % 100 + 1).cast("long").alias("tick"),
+    )
+
+
+def _probe_tokens(spark: SparkSession) -> dict[str, int]:
+    rows = (
+        spark.createDataFrame([(w,) for w in PROBE_WORDS], "word string")
+        .select("word", F.xxhash64("word").alias("tok"))
+        .collect()
+    )
+    return {r["word"]: r["tok"] for r in rows}
+
+
+def _build(spark, sf_dir, specs, partitions=8, salt_mod=4):
+    from fuggetabouspark.pipeline import build_sketches, merge_rows_to_sketches
+
+    corpus = _corpus(spark, sf_dir)
+    rows = build_sketches(
+        corpus, specs, group_cols=("source",), tick_col=F.col("tick"),
+        partitions=partitions, salt_mod=salt_mod,
+    ).collect()
+    return rows, merge_rows_to_sketches(rows)
+
+
+# --------------------------------------------------------------------
+# sketch-verb queries (through the full distributed pipeline)
+# --------------------------------------------------------------------
+
+
+def _membership_query(kind: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import numpy as np
+
+        from fuggetabouspark.params import ScalingParams, TimingParams
+        from fuggetabouspark.pipeline import SketchSpec
+
+        params = (
+            TimingParams(capacity=20_000, error=1e-8, window_ticks=WINDOW)
+            if kind == "tbf"
+            else ScalingParams(capacity=20_000, error=1e-8, window_ticks=WINDOW)
+        )
+        _, sks = _build(spark, sf_dir, [SketchSpec("m", kind, params, "tokens")])
+        tok = _probe_tokens(spark)
+        probes = np.array([tok[w] for w in PROBE_WORDS], dtype=np.int64)
+        out = []
+        for (sname, group), sk in sorted(sks.items()):
+            seen = sk.contains_batch(probes, NOW)
+            out.extend((group, w, bool(s)) for w, s in zip(PROBE_WORDS, seen))
+        return spark.createDataFrame(out, "source string, word string, seen boolean")
+
+    return run
+
+
+def _membership_oracle() -> str:
+    vals = ", ".join(f"('{w}')" for w in PROBE_WORDS)
+    return f"""
+    WITH probes(word) AS (VALUES {vals}),
+    d AS (SELECT source, doc_id, string_split(text, ' ') AS ws FROM documents)
+    SELECT d.source AS source, p.word AS word,
+           COALESCE(bool_or(list_contains(d.ws, p.word)
+                    AND ((d.doc_id % 100) + 1 BETWEEN {NOW - WINDOW + 1} AND {NOW})), false) AS seen
+    FROM d CROSS JOIN probes p
+    GROUP BY d.source, p.word
+    """
+
+
+def q_cbf_token_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CBF n_items per source == exact token count (pipeline gate)."""
+    from fuggetabouspark.params import BloomParams
+    from fuggetabouspark.pipeline import SketchSpec
+
+    _, sks = _build(spark, sf_dir, [SketchSpec("c", "cbf", BloomParams(50_000, 0.001), "tokens")])
+    rows = [(g, sk.n_items) for (_, g), sk in sorted(sks.items())]
+    return spark.createDataFrame(rows, "source string, n_tokens long")
+
+
+def q_hll_decayed_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (source, tick-bucket) HLL ring, union of last-5-buckets
+    window → estimate (rows-only: approximate by design)."""
+    from fuggetabouspark import queries as Q
+    from fuggetabouspark.params import HLLParams
+    from fuggetabouspark.pipeline import GROUP_SEP, SketchSpec, build_sketches, merge_rows_to_sketches
+
+    corpus = _corpus(spark, sf_dir).withColumn("bucket", (F.col("tick") / 10).cast("long"))
+    rows = build_sketches(
+        corpus,
+        [SketchSpec("h", "hll", HLLParams(p=14), "tokens")],
+        group_cols=("source", "bucket"),
+        tick_col=F.col("tick"),
+        partitions=8,
+        salt_mod=2,
+    ).collect()
+    sks = merge_rows_to_sketches(rows)
+    est = Q.decayed_cardinality(sks, "h", now=NOW, window=WINDOW, bucket_ticks=10)
+    return spark.createDataFrame(
+        [(s, float(v)) for s, v in est.items()], "source string, est_distinct double"
+    )
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 words per source: exact candidate set scored by the
+    merged CMS. The CMS is wide enough that estimates are exact at this
+    scale, making the entry oracle-checkable end to end."""
+    import numpy as np
+
+    from fuggetabouspark.params import CMSParams
+    from fuggetabouspark.pipeline import SketchSpec
+
+    _, sks = _build(spark, sf_dir, [SketchSpec("f", "cms", CMSParams(eps=1e-4, delta=1e-3), "tokens")])
+    # candidate generation: distinct words per source (exact, distributed)
+    cand = (
+        _docs(spark, sf_dir)
+        .select("source", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("source", "word")
+        .count()
+        .select("source", "word", F.xxhash64("word").alias("tok"))
+        .collect()
+    )
+    by_src: dict[str, list] = {}
+    for r in cand:
+        by_src.setdefault(r["source"], []).append((r["word"], r["tok"]))
+    out = []
+    for src, pairs in sorted(by_src.items()):
+        words = [w for w, _ in pairs]
+        toks = np.array([t for _, t in pairs], dtype=np.int64)
+        est = sks[("f", src)].query_batch(toks)
+        order = sorted(range(len(words)), key=lambda i: (-int(est[i]), words[i]))[:10]
+        out.extend((src, words[i], int(est[i]), r + 1) for r, i in enumerate(order))
+    return spark.createDataFrame(out, "source string, word string, cnt long, rnk long")
+
+
+def q_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fuggetabouspark.params import TDigestParams
+    from fuggetabouspark.pipeline import SketchSpec
+
+    _, sks = _build(spark, sf_dir, [SketchSpec("t", "tdigest", TDigestParams(200.0), "n_tok")])
+    out = [
+        (g, float(sk.compressed().quantile(0.25)), float(sk.compressed().quantile(0.5)),
+         float(sk.compressed().quantile(0.75)))
+        for (_, g), sk in sorted(sks.items())
+    ]
+    return spark.createDataFrame(out, "source string, p25 double, p50 double, p75 double")
+
+
+def q_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fuggetabouspark.params import KLLParams
+    from fuggetabouspark.pipeline import SketchSpec
+
+    _, sks = _build(spark, sf_dir, [SketchSpec("k", "kll", KLLParams(200), "n_tok")])
+    out = [
+        (g, float(sk.quantile(0.25)), float(sk.quantile(0.5)), float(sk.quantile(0.75)))
+        for (_, g), sk in sorted(sks.items())
+    ]
+    return spark.createDataFrame(out, "source string, p25 double, p50 double, p75 double")
+
+
+def q_lineage_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent token-content digest from the lineage rows
+    (ingest invariant, BASELINE.json:15) + row/token totals."""
+    from fuggetabouspark.params import HLLParams
+    from fuggetabouspark.pipeline import SketchSpec, corpus_digest, lineage_from_rows
+
+    rows, _ = _build(spark, sf_dir, [SketchSpec("h", "hll", HLLParams(p=10), "tokens")])
+    lin = lineage_from_rows(rows)
+    return spark.createDataFrame(
+        [(
+            int(corpus_digest(rows) % (1 << 63)),
+            sum(e["n_rows"] for e in lin),
+            sum(e["n_tokens"] for e in lin),
+        )],
+        "digest long, n_rows long, n_tokens long",
+    )
+
+
+# --------------------------------------------------------------------
+# relational plumbing (scan/filter/agg/join — SURVEY.md §2.1)
+# --------------------------------------------------------------------
+
+
+def q_distinct_words_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .select("source", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("source")
+        .agg(F.countDistinct("word").alias("n_distinct"))
+    )
+
+
+def q_ntok_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quartiles of words-per-doc, ×4 so every value
+    is integral (cross-engine float-safe)."""
+    return (
+        _docs(spark, sf_dir)
+        .select("source", F.size(F.split("text", " ")).alias("n_words"))
+        .groupBy("source")
+        .agg(
+            F.round(F.expr("percentile(n_words, 0.25) * 4")).cast("long").alias("p25x4"),
+            F.round(F.expr("percentile(n_words, 0.5) * 4")).cast("long").alias("p50x4"),
+            F.round(F.expr("percentile(n_words, 0.75) * 4")).cast("long").alias("p75x4"),
+        )
+    )
+
+
+def q_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+    )
+
+
+def q_orders_customer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("total_cents"),
+        )
+    )
+
+
+def q_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("count_order"),
+            F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("sum_qty_cents"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("sum_price_cents"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# training-data ops (dedup / similarity / text analysis / multimodal)
+# --------------------------------------------------------------------
+
+
+def q_exact_dedup_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("text")
+        .agg(F.count("*").alias("n_copies"))
+        .groupBy("n_copies")
+        .agg(F.count("*").alias("n_groups"))
+    )
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fuggetabouspark.dataops import token_counts
+
+    _ship(spark)
+    return token_counts(_docs(spark, sf_dir)).select(
+        "doc_id", F.col("n_words").cast("long").alias("n_words")
+    )
+
+
+def q_langid_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fuggetabouspark.dataops import language_id
+
+    _ship(spark)
+    return language_id(_docs(spark, sf_dir)).groupBy("lang_pred").agg(F.count("*").alias("n"))
+
+
+def q_quality_ingredients(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer ingredients of the quality score (float-free oracle)."""
+    docs = _docs(spark, sf_dir)
+    words = F.split("text", " ")
+    stop = F.array(*[F.lit(w) for w in STOPWORDS])
+    return docs.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_words"),
+        F.size(F.array_intersect(words, stop)).cast("long").alias("n_stop_distinct"),
+        F.length("text").cast("long").alias("n_chars_obs"),
+    )
+
+
+def q_word_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-set Jaccard >= 0.2 within source, integer form
+    (5*|∩| >= |∪|); the verification stage of near-dup dedup."""
+    docs = _docs(spark, sf_dir)
+    ws = F.array_distinct(F.split("text", " "))
+    g = docs.select("doc_id", "source", ws.alias("ws"))
+    a = g.select(F.col("doc_id").alias("doc_a"), "source", F.col("ws").alias("wa"))
+    b = g.select(F.col("doc_id").alias("doc_b"), "source", F.col("ws").alias("wb"))
+    inter = F.size(F.array_intersect("wa", "wb")).cast("long")
+    uni = F.size(F.array_union("wa", "wb")).cast("long")
+    return (
+        a.join(b, "source")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", inter.alias("inter"), uni.alias("uni"))
+        .where(F.col("inter") * 5 >= F.col("uni"))
+    )
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fuggetabouspark.dataops import minhash_lsh_candidates, minhash_signatures
+
+    _ship(spark)
+    sig = minhash_signatures(_docs(spark, sf_dir), num_hashes=64)
+    return minhash_lsh_candidates(sig, bands=16, rows_per_band=4)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fuggetabouspark.dataops import simhash_buckets
+
+    _ship(spark)
+    return simhash_buckets(_docs(spark, sf_dir)).select("doc_id", "simhash")
+
+
+def q_ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fuggetabouspark.dataops import brute_force_topk
+
+    _ship(spark)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    res = brute_force_topk(emb, qs, k=10)
+    return res.select("query_id", "vec_id", F.col("rank").cast("long").alias("rnk"))
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fuggetabouspark.dataops import lsh_bucket_topk
+
+    _ship(spark)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    qs = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    res = lsh_bucket_topk(emb, qs, dim=dim, k=10, bits=6)
+    return res.select("query_id", "vec_id", F.col("rank").cast("long").alias("rnk"))
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fuggetabouspark.dataops.multimodal import decode_and_featurize, synthesize_media
+
+    _ship(spark)
+    media = synthesize_media(spark, n=32, kind="video")
+    return decode_and_featurize(media, frames_per_media=2).select("media_id", "frame_idx")
+
+
+# --------------------------------------------------------------------
+# contract surface
+# --------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: seen_within over sf0.001 through the full pipeline."""
+    return _membership_query("tbf")(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "tbf_seen_within": _membership_query("tbf"),
+        "stbf_seen_within": _membership_query("stbf"),
+        "cbf_token_totals": q_cbf_token_totals,
+        "hll_decayed_cardinality": q_hll_decayed_cardinality,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
+        "tdigest_quantiles": q_tdigest_quantiles,
+        "kll_quantiles": q_kll_quantiles,
+        "lineage_digest": q_lineage_digest,
+        "distinct_words_per_source": q_distinct_words_per_source,
+        "ntok_percentiles": q_ntok_percentiles,
+        "events_by_type": q_events_by_type,
+        "orders_customer_join": q_orders_customer_join,
+        "lineitem_pricing": q_lineitem_pricing,
+        "exact_dedup_histogram": q_exact_dedup_histogram,
+        "token_counts": q_token_counts,
+        "langid_counts": q_langid_counts,
+        "quality_ingredients": q_quality_ingredients,
+        "word_jaccard_pairs": q_word_jaccard_pairs,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash": q_simhash,
+        "ann_topk_cosine": q_ann_topk_cosine,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "multimodal_features": q_multimodal_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    langs = {
+        "en": ["the", "and", "of"],
+        "es": ["el", "la", "los"],
+        "de": ["der", "die", "und"],
+        "fr": ["le", "les", "des"],
+        "zh": ["de", "shi", "bu"],
+    }
+    h = {
+        l: f"len(list_intersect(string_split(text,' '), {ms}))" for l, ms in langs.items()
+    }
+    best = "greatest(" + ", ".join(f"h_{l}" for l in langs) + ")"
+    lang_case = "CASE WHEN " + best + " <= 0 THEN 'und' " + " ".join(
+        f"WHEN h_{l} = {best} THEN '{l}'" for l in langs
+    ) + " END"
+    stop_list = list(STOPWORDS)
+    return {
+        "tbf_seen_within": _membership_oracle(),
+        "stbf_seen_within": _membership_oracle(),
+        "cbf_token_totals": (
+            "SELECT source, SUM(len(string_split(text, ' '))) AS n_tokens "
+            "FROM documents GROUP BY source"
+        ),
+        "cms_heavy_hitters": """
+            WITH w AS (SELECT source, unnest(string_split(text,' ')) AS word FROM documents),
+            c AS (SELECT source, word, count(*) AS cnt FROM w GROUP BY source, word),
+            r AS (SELECT source, word, cnt,
+                         row_number() OVER (PARTITION BY source ORDER BY cnt DESC, word) AS rnk
+                  FROM c)
+            SELECT source, word, cnt, rnk FROM r WHERE rnk <= 10
+        """,
+        "distinct_words_per_source": """
+            SELECT source, count(DISTINCT word) AS n_distinct
+            FROM (SELECT source, unnest(string_split(text,' ')) AS word FROM documents) t
+            GROUP BY source
+        """,
+        "ntok_percentiles": """
+            SELECT source,
+                   CAST(round(quantile_cont(n_words, 0.25) * 4) AS BIGINT) AS p25x4,
+                   CAST(round(quantile_cont(n_words, 0.5) * 4) AS BIGINT) AS p50x4,
+                   CAST(round(quantile_cont(n_words, 0.75) * 4) AS BIGINT) AS p75x4
+            FROM (SELECT source, len(string_split(text,' ')) AS n_words FROM documents) t
+            GROUP BY source
+        """,
+        "events_by_type": """
+            SELECT event_type, count(*) AS n,
+                   SUM(CAST(round(value * 100) AS BIGINT)) AS value_cents
+            FROM events GROUP BY event_type
+        """,
+        "orders_customer_join": """
+            SELECT c_mktsegment, count(*) AS n_orders,
+                   SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "lineitem_pricing": """
+            SELECT l_returnflag, l_linestatus, count(*) AS count_order,
+                   SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_cents,
+                   SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "exact_dedup_histogram": """
+            SELECT n_copies, count(*) AS n_groups
+            FROM (SELECT count(*) AS n_copies FROM documents GROUP BY text) t
+            GROUP BY n_copies
+        """,
+        "token_counts": (
+            "SELECT doc_id, len(string_split(text, ' ')) AS n_words FROM documents"
+        ),
+        "langid_counts": (
+            "WITH s AS (SELECT "
+            + ", ".join(f"{expr} AS h_{l}" for l, expr in h.items())
+            + f" FROM documents) SELECT {lang_case} AS lang_pred, count(*) AS n FROM s GROUP BY 1"
+        ),
+        "quality_ingredients": f"""
+            SELECT doc_id,
+                   len(string_split(text,' ')) AS n_words,
+                   len(list_intersect(string_split(text,' '), {stop_list})) AS n_stop_distinct,
+                   length(text) AS n_chars_obs
+            FROM documents
+        """,
+        "word_jaccard_pairs": """
+            WITH s AS (SELECT doc_id, source, list_distinct(string_split(text,' ')) AS ws
+                       FROM documents)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   len(list_intersect(a.ws, b.ws)) AS inter,
+                   len(list_distinct(list_concat(a.ws, b.ws))) AS uni
+            FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.ws, b.ws)) * 5 >= len(list_distinct(list_concat(a.ws, b.ws)))
+        """,
+        "ann_topk_cosine": """
+            WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 3)
+            SELECT qid AS query_id, vec_id, rnk FROM (
+                SELECT q.qid, e.vec_id,
+                       row_number() OVER (PARTITION BY q.qid
+                           ORDER BY list_cosine_similarity(e.embedding, q.qv) DESC, e.vec_id) AS rnk
+                FROM embeddings e, q) t
+            WHERE rnk <= 10
+        """,
+    }

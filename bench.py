@@ -1,0 +1,200 @@
+"""Benchmark harness (driver contract + scaling evidence).
+
+Default: runs the headline suite at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line {"metric", "value" (total sec), "unit", "queries" (per-query
+sec), "sf", plus throughput extras}.
+
+--scaling: runs the identical sketch-build job on the same cached
+fixture corpus at local[8] and local[32] and writes
+BENCH/BASELINE.md with tokens/s at both plus efficiency =
+(throughput_32 / throughput_8) / 4 — the sandbox evidence for the
+north rule's N→4N ≥ 0.8 requirement (no real cluster here).
+
+The headline job is the north-star metric: update+merge throughput of
+all seven sketches, per-source, over the input_hint-shaped corpus
+(FIXTURES.md scale m ≈ 30M tokens), explode-free Arrow path.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+CACHE = os.path.join(REPO, ".bench_cache")
+BENCH_SCALE = os.environ.get("SPARK_GRAFT_BENCH_SCALE", "m")
+
+
+def _specs():
+    from fuggetabouspark.params import (
+        BloomParams,
+        CMSParams,
+        HLLParams,
+        KLLParams,
+        ScalingParams,
+        TDigestParams,
+        TimingParams,
+    )
+    from fuggetabouspark.pipeline import SketchSpec
+
+    return [
+        SketchSpec("cbf", "cbf", BloomParams(60_000, 0.005), "tokens"),
+        SketchSpec("tbf", "tbf", TimingParams(60_000, 0.005, window_ticks=2000), "tokens"),
+        SketchSpec("stbf", "stbf", ScalingParams(20_000, 0.005, window_ticks=2000), "tokens"),
+        SketchSpec("hll", "hll", HLLParams(p=14), "tokens"),
+        SketchSpec("cms", "cms", CMSParams(eps=5e-4, delta=0.01), "tokens"),
+        SketchSpec("tdigest", "tdigest", TDigestParams(200.0), "n_tok"),
+        SketchSpec("kll", "kll", KLLParams(200), "n_tok"),
+    ]
+
+
+def ensure_corpus(spark, scale: str) -> tuple[str, int]:
+    """Materialize the deterministic fixture corpus once; reuse."""
+    from fuggetabouspark.fixtures import rows_for_scale, write_corpus
+
+    path = os.path.join(CACHE, f"corpus_{scale}")
+    marker = os.path.join(path, "_SUCCESS_FGS")
+    if not os.path.exists(marker):
+        write_corpus(spark, path, scale, partitions=64)
+        open(marker, "w").write("ok")
+    return path, rows_for_scale(scale)
+
+
+def _tick_col(rows: int):
+    from pyspark.sql import functions as F
+
+    from fuggetabouspark.fixtures import docs_per_tick
+
+    dpt = docs_per_tick(rows)
+    return (F.regexp_extract("doc_id", r"(\d+)$", 1).cast("long") / dpt).cast("long") + 1
+
+
+def build_job(spark, corpus_path: str, rows: int, partitions: int, salt_mod: int = 8):
+    """The measured job: scan parquet corpus -> full 7-sketch build."""
+    from fuggetabouspark.pipeline import build_sketches, lineage_from_rows
+
+    df = spark.read.parquet(corpus_path)
+    out = build_sketches(
+        df, _specs(), group_cols=("source",), tick_col=_tick_col(rows),
+        partitions=partitions, salt_mod=salt_mod,
+    ).collect()
+    n_tokens = sum(e["n_tokens"] for e in lineage_from_rows(out))
+    return out, n_tokens
+
+
+def run_headline(cpus: int, sf_dir: str) -> dict:
+    import numpy as np
+
+    from fuggetabouspark.pipeline import merge_rows_to_sketches
+    from fuggetabouspark.session import get_spark
+
+    spark = get_spark("fgs-bench", cpus=cpus)
+    q: dict[str, float] = {}
+    extras: dict = {}
+
+    corpus_path, rows = ensure_corpus(spark, BENCH_SCALE)
+    # warm the JVM/Arrow path so the measured run is steady-state
+    spark.read.parquet(corpus_path).limit(1000).count()
+
+    t0 = time.time()
+    out, n_tokens = build_job(spark, corpus_path, rows, partitions=cpus)
+    q["build_all_sketches"] = round(time.time() - t0, 3)
+    extras["corpus_tokens"] = n_tokens
+    extras["tokens_per_sec"] = round(n_tokens / q["build_all_sketches"])
+
+    sks = merge_rows_to_sketches(out)
+
+    # distributed probe of 200k keys against the built per-source TBF
+    from fuggetabouspark import queries as Q
+
+    state = spark.createDataFrame(
+        [(s, g, bytearray(sk.to_bytes()), sk.n_items) for (s, g), sk in sks.items() if s == "tbf"],
+        "spec string, group string, payload binary, n_items long",
+    )
+    probes = spark.range(200_000).selectExpr("cast(id % 60000 as long) as key")
+    t0 = time.time()
+    n = Q.seen_within_distributed(spark, state, "tbf", probes, now=1001).count()
+    q["probe_200k_distributed"] = round(time.time() - t0, 3)
+    extras["probe_rows"] = n
+
+    # sf-dir queries (driver testdata)
+    import __spark_entry__ as entrymod
+
+    for name in ("tbf_seen_within", "cms_heavy_hitters", "minhash_lsh_pairs", "ann_topk_cosine"):
+        fn = entrymod.queries()[name]
+        t0 = time.time()
+        fn(spark, sf_dir).collect()
+        q[name] = round(time.time() - t0, 3)
+
+    spark.stop()
+    total = round(sum(q.values()), 3)
+    return {
+        "metric": "sketch update+merge throughput (7 sketches, per-source) + probe + sf-dir suite",
+        "value": total,
+        "unit": "sec",
+        "queries": q,
+        "sf": sf_dir,
+        **extras,
+    }
+
+
+def run_scaling() -> dict:
+    """Same job, same input, local[8] vs local[32] (N vs 4N cores)."""
+    from fuggetabouspark.session import get_spark
+
+    results = {}
+    for cpus in (8, 32):
+        spark = get_spark(f"fgs-scaling-{cpus}", cpus=cpus, shuffle_partitions=2 * cpus)
+        corpus_path, rows = ensure_corpus(spark, BENCH_SCALE)
+        spark.read.parquet(corpus_path).limit(1000).count()  # warm
+        t0 = time.time()
+        _, n_tokens = build_job(spark, corpus_path, rows, partitions=cpus)
+        dt = time.time() - t0
+        results[cpus] = {"sec": round(dt, 2), "tokens_per_sec": round(n_tokens / dt)}
+        spark.stop()
+    eff = (results[32]["tokens_per_sec"] / results[8]["tokens_per_sec"]) / 4.0
+    return {"n8": results[8], "n32": results[32], "efficiency": round(eff, 3), "tokens": n_tokens}
+
+
+def write_baseline_md(s: dict) -> None:
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(
+            f"""# BENCH/BASELINE — measured results
+
+Job: full 7-sketch build (CBF/TBF/STBF/HLL/CMS/t-digest/KLL,
+per-source groups, salted two-stage merge) over the deterministic
+fixture corpus (FIXTURES.md scale {BENCH_SCALE}, {s['tokens']:,} tokens),
+identical input and code at two parallelism levels — the sandbox
+evidence for the north rule's N→4N executor scaling requirement
+(no real cluster available; local[8] vs local[32] on one JVM).
+
+| parallelism | wall sec | tokens/s |
+| --- | --- | --- |
+| local[8]  (N)  | {s['n8']['sec']} | {s['n8']['tokens_per_sec']:,} |
+| local[32] (4N) | {s['n32']['sec']} | {s['n32']['tokens_per_sec']:,} |
+
+**Scaling efficiency (throughput_4N / throughput_N) / 4 = {s['efficiency']}**
+(target >= 0.8, BASELINE.json / BASELINE.md)
+
+Caveat: a single-JVM local[k] shares one heap, one shuffle disk and
+one Python-worker pool, so this understates true multi-executor
+scaling where memory bandwidth and GC do not contend.
+"""
+        )
+
+
+if __name__ == "__main__":
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if "--scaling" in sys.argv:
+        s = run_scaling()
+        write_baseline_md(s)
+        print(json.dumps({"scaling": s}))
+    else:
+        print(json.dumps(run_headline(cpus, sf_dir)))

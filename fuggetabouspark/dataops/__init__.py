@@ -1,0 +1,36 @@
+"""Training-data pipeline operators over the driver testdata tables
+(documents, embeddings): deduplication, similarity search, text
+analysis, multimodal plumbing. All Spark-first: built-in functions
+where possible, Arrow-vectorized UDFs where not, never per-row Python.
+"""
+
+from .textstats import (
+    doc_fingerprint,
+    language_id,
+    quality_score,
+    token_counts,
+    tokenize_words,
+)
+from .dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_buckets,
+)
+from .similarity import brute_force_topk, lsh_bucket_topk
+
+__all__ = [
+    "tokenize_words",
+    "token_counts",
+    "language_id",
+    "quality_score",
+    "doc_fingerprint",
+    "exact_dedup",
+    "minhash_signatures",
+    "minhash_lsh_candidates",
+    "simhash_buckets",
+    "ngram_jaccard_pairs",
+    "brute_force_topk",
+    "lsh_bucket_topk",
+]

@@ -1,0 +1,207 @@
+"""Deduplication operators over the documents table.
+
+Four families, each chosen for a different scale/recall point:
+
+- exact:    hash-groupBy on xxhash64(text) — one shuffle, no UDF.
+- minhash:  shingle → k minhashes → band-bucket join (LSH). The
+            signature is computed by a vectorized Arrow UDF (numpy
+            over flattened shingle hashes); candidate pairing is a
+            self-join on (band, bucket) — the classic MinHash-LSH
+            plan that scales to 10^12 docs because no pair outside a
+            shared bucket is ever materialized.
+- simhash:  64-bit simhash from word hashes (JVM-side bit algebra),
+            near-dup = equal simhash-band keys.
+- n-gram jaccard: exact pairwise Jaccard on character n-gram sets for
+            candidate pairs (verification stage after LSH, or
+            standalone at small scale).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..hashing import splitmix64
+
+_U64 = np.uint64
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical documents: (fp_exact, n_copies,
+    doc_ids sorted). Plain hash aggregation — Catalyst handles
+    partial/final split and AQE handles skew."""
+    return (
+        df.groupBy(F.xxhash64(F.col(text_col)).alias("fp_exact"))
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+        .where(F.col("n_copies") > 1)
+    )
+
+
+def _word_shingles(words: np.ndarray, n: int) -> np.ndarray:
+    """uint64 hashes of word n-grams for ONE document (vectorized)."""
+    if words.size < n:
+        return splitmix64(words) if words.size else np.zeros(0, dtype=_U64)
+    with np.errstate(over="ignore"):
+        acc = words[: words.size - n + 1].copy()
+        for j in range(1, n):
+            acc = splitmix64(acc ^ words[j : words.size - n + 1 + j])
+    return acc
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", num_hashes: int = 64, shingle: int = 3
+) -> DataFrame:
+    """(doc_id, source, sig: array<long>) — k minhashes over word
+    3-gram shingles. mapInArrow: per batch, words are hashed JVM-side
+    upstream? No — here the whole shingle+minhash runs in numpy over
+    the flattened word-hash lists; per-doc work is a (k, n_shingles)
+    min-reduce. k seeded permutations via splitmix64(h ^ seed_i)."""
+    import pyarrow as pa
+
+    seeds = splitmix64(np.arange(1, num_hashes + 1, dtype=_U64))
+    word_hash = F.transform(F.split(F.col(text_col), " "), lambda w: F.xxhash64(w))
+    src = df.select("doc_id", "source", word_hash.alias("wh"))
+
+    def sig(iterator):
+        for tbl in iterator:
+            wh_col = tbl.column("wh")
+            flat = wh_col.flatten().to_numpy(zero_copy_only=False).astype(np.int64).view(_U64)
+            counts = np.diff(wh_col.offsets.to_numpy(zero_copy_only=False).astype(np.int64))
+            doc_ids = tbl.column("doc_id")
+            sources = tbl.column("source")
+            sigs = np.empty((len(counts), num_hashes), dtype=np.int64)
+            pos = 0
+            for i, c in enumerate(counts):  # per-doc loop, numpy inside
+                sh = _word_shingles(flat[pos : pos + c], 3)
+                pos += c
+                if sh.size == 0:
+                    sigs[i] = np.iinfo(np.int64).max
+                    continue
+                with np.errstate(over="ignore"):
+                    hs = splitmix64(sh[None, :] ^ seeds[:, None])
+                sigs[i] = (hs.min(axis=1) >> _U64(1)).astype(np.int64)
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "doc_id": doc_ids,
+                    "source": sources,
+                    "sig": pa.array([row.tolist() for row in sigs], pa.list_(pa.int64())),
+                }
+            )
+
+    return src.mapInArrow(sig, schema="doc_id long, source string, sig array<long>")
+
+
+def minhash_lsh_candidates(
+    sig_df: DataFrame, bands: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """Band the signatures and self-join on (band, bucket): candidate
+    near-dup pairs. Jaccard threshold ≈ (1/bands)^(1/rows_per_band).
+    The join key is a hash of each band slice, so the shuffle carries
+    (doc_id, band, bucket) — O(docs × bands), never O(docs²)."""
+    b = []
+    for band in range(bands):
+        lo = band * rows_per_band
+        sl = F.slice("sig", lo + 1, rows_per_band)
+        b.append(F.struct(F.lit(band).alias("band"), F.xxhash64(sl).alias("bucket")))
+    banded = sig_df.select(
+        "doc_id", F.explode(F.array(*b)).alias("bb")
+    ).select("doc_id", "bb.band", "bb.bucket")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+def simhash_buckets(df: DataFrame, text_col: str = "text", band_bits: int = 16) -> DataFrame:
+    """64-bit SimHash per doc: per hash bit j, sum(+1/-1) over the
+    doc's word hashes; sign → bit. Word hashes come from JVM-side
+    xxhash64; the bit accumulation is a vectorized Arrow UDF (one
+    unpackbits + reduceat per batch — no per-word Python). Docs
+    sharing any band_bits-wide band are near-dup candidates."""
+    import pyarrow as pa
+
+    wh = F.transform(F.split(F.col(text_col), " "), lambda w: F.xxhash64(w))
+    src = df.select("doc_id", "source", wh.alias("wh"))
+
+    def sim(iterator):
+        for tbl in iterator:
+            col = tbl.column("wh")
+            flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.int64).view(_U64)
+            counts = np.diff(col.offsets.to_numpy(zero_copy_only=False).astype(np.int64))
+            # (n_words, 64) bit matrix via unpackbits on the LE bytes
+            bits = np.unpackbits(
+                flat.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+            ).astype(np.int32)
+            signed = (2 * bits - 1).astype(np.int32)  # ±1
+            # per-doc column sums via prefix-sum differencing (no
+            # reduceat edge cases for empty docs)
+            ps = np.vstack([np.zeros((1, 64), np.int32), np.cumsum(signed, axis=0, dtype=np.int32)])
+            bounds = np.concatenate([np.zeros(1, np.int64), np.cumsum(counts)])
+            sums = ps[bounds[1:]] - ps[bounds[:-1]]
+            sbits = (sums > 0).astype(np.uint64)
+            sh = (sbits << np.arange(64, dtype=np.uint64)).sum(axis=1, dtype=np.uint64)
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "doc_id": tbl.column("doc_id"),
+                    "source": tbl.column("source"),
+                    "simhash": pa.array(sh.view(np.int64), pa.int64()),
+                }
+            )
+
+    out = src.mapInArrow(sim, schema="doc_id long, source string, simhash long")
+    bandcols = [
+        F.shiftright("simhash", i * band_bits).bitwiseAND(F.lit((1 << band_bits) - 1)).alias(f"band{i}")
+        for i in range(64 // band_bits)
+    ]
+    return out.select("doc_id", "source", "simhash", *bandcols)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    text_col: str = "text",
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard for pairs: standalone (self-join within
+    source — small scales / verification) or restricted to an LSH
+    candidate pair set (the 10^12-doc path). JVM set algebra only."""
+    words = F.split(F.col(text_col), " ")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+            lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+        )
+    )
+    g = df.select("doc_id", "source", grams.alias("grams"))
+    if candidates is not None:
+        pairs = (
+            candidates.join(g.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga")), "doc_a")
+            .join(g.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("gb")), "doc_b")
+        )
+    else:
+        a = g.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("source"), F.col("grams").alias("ga"))
+        bdf = g.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("source"), F.col("grams").alias("gb"))
+        pairs = a.join(bdf, "source").where(F.col("doc_a") < F.col("doc_b"))
+    inter = F.size(F.array_intersect("ga", "gb"))
+    union = F.size(F.array_union("ga", "gb"))
+    jac = inter / F.greatest(union, F.lit(1))
+    return (
+        pairs.select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,109 @@
+"""Text analysis over the documents table — language-ID, quality
+scoring, token counting, fingerprinting. Everything stays JVM-side
+(pyspark.sql.functions, whole-stage codegen); no Python UDFs at all in
+this module, so these scale linearly with executors at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..fixtures import VOCAB
+
+# deterministic word→token mapping shared with the sketch pipeline when
+# a tokens column must be derived from raw text (FIXTURES.md §4):
+# token = xxhash64(word) mod VOCAB — computed fully JVM-side.
+
+
+def tokenize_words(text_col: str = "text") -> Column:
+    """split on single spaces; keeps parity with DuckDB string_split."""
+    return F.split(F.col(text_col), " ")
+
+
+def tokens_from_text(text_col: str = "text") -> Column:
+    """array<int> token ids via xxhash64(word) mod VOCAB, explode-free
+    (transform is a JVM higher-order function)."""
+    return F.transform(
+        tokenize_words(text_col),
+        lambda w: F.pmod(F.xxhash64(w), F.lit(VOCAB)).cast("int"),
+    )
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + a BPE-ish subword estimate (≈ chars/4,
+    the standard heuristic) per document."""
+    words = tokenize_words(text_col)
+    return df.select(
+        "doc_id",
+        "source",
+        F.size(words).alias("n_words"),
+        F.length(text_col).alias("n_chars_obs"),
+        F.ceil(F.length(text_col) / F.lit(4)).cast("long").alias("n_subwords_est"),
+    )
+
+
+# tiny per-language stopword markers for the n-gram/stopword heuristic;
+# deliberately deterministic and SQL-expressible
+_LANG_MARKERS = {
+    "en": ["the", "and", "of"],
+    "es": ["el", "la", "los"],
+    "de": ["der", "die", "und"],
+    "fr": ["le", "les", "des"],
+    "zh": ["de", "shi", "bu"],
+}
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: argmax over per-language marker-word hit
+    counts; 'und' when nothing matches. Pure JVM column algebra."""
+    words = F.split(F.col(text_col), " ")
+    hits = [
+        F.size(F.array_intersect(words, F.array(*[F.lit(m) for m in ms]))).alias(f"h_{lang}")
+        for lang, ms in _LANG_MARKERS.items()
+    ]
+    scored = df.select("doc_id", "source", *hits)
+    langs = list(_LANG_MARKERS)
+    best = F.greatest(*[F.col(f"h_{l}") for l in langs])
+    pick = F.when(best <= 0, F.lit("und"))
+    for l in langs:  # first max wins — deterministic tie-break by dict order
+        pick = pick.when(F.col(f"h_{l}") == best, F.lit(l))
+    return scored.select("doc_id", "source", pick.alias("lang_pred"))
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic quality heuristics: length, mean word length,
+    alpha ratio, stopword ratio — combined into a 0..1 score.
+
+    The score is a pure arithmetic function of exact counts, so an SQL
+    oracle can reproduce it bit-for-bit (driver correctness gate)."""
+    words = tokenize_words(text_col)
+    n_words = F.size(words)
+    n_chars = F.length(text_col)
+    stop = F.array(*[F.lit(w) for w in ("the", "and", "of", "a", "to", "in")])
+    n_stop = F.size(F.array_intersect(words, stop))
+    mean_wlen = (n_chars - (n_words - 1)) / n_words  # chars excl. separators
+    len_ok = F.when((n_words >= 10) & (n_words <= 100000), 1.0).otherwise(0.0)
+    wlen_ok = F.when((mean_wlen >= 2.0) & (mean_wlen <= 12.0), 1.0).otherwise(0.0)
+    stop_ratio = n_stop / F.greatest(n_words, F.lit(1))
+    return df.select(
+        "doc_id",
+        "source",
+        n_words.alias("n_words"),
+        F.round(mean_wlen, 4).alias("mean_word_len"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round((len_ok + wlen_ok + stop_ratio) / F.lit(3.0), 4).alias("quality"),
+    )
+
+
+def doc_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit content fingerprint per document (xxhash64 of the exact
+    text) plus a shingle fingerprint (hash of the sorted distinct
+    word set — order-insensitive). Used by exact/near dedup."""
+    words = tokenize_words(text_col)
+    return df.select(
+        "doc_id",
+        "source",
+        F.xxhash64(F.col(text_col)).alias("fp_exact"),
+        F.xxhash64(F.array_join(F.array_sort(F.array_distinct(words)), " ")).alias("fp_bag"),
+    )

@@ -80,20 +80,35 @@ def hash64_strings(keys, seed: int = 0) -> np.ndarray:
     return splitmix64(h)
 
 
-def bloom_indexes(keys: np.ndarray, k: int, m: int, seed: int = 0) -> np.ndarray:
-    """(n,) integer keys → (n, k) bucket indexes in [0, m).
-
-    Double hashing: idx_j = (h1 + j*h2) mod m, h2 forced odd so the
-    probe sequence cycles through distinct residues for power-of-two m
-    and never degenerates to a fixed point.
-    """
+def hash_pair(keys: np.ndarray, seed: int = 0) -> tuple[np.ndarray, np.ndarray]:
+    """Two independent 64-bit hashes per key (h2 forced odd), shared by
+    every Bloom-family sketch in a batch so each key is hashed once
+    regardless of how many sketches consume it."""
     h1 = hash64(keys, seed=seed)
     h2 = hash64(keys, seed=seed + 0x51ED)
     h2 |= _U64(1)
+    return h1, h2
+
+
+def indexes_from_pair(h1: np.ndarray, h2: np.ndarray, k: int, m: int) -> np.ndarray:
+    """(n,) hash pair → (n, k) bucket indexes in [0, m).
+
+    Double hashing [P:Kirsch–Mitzenmacher 2006] with Lemire multiply-
+    shift range reduction instead of `% m` (~3× faster than uint64
+    modulo in numpy) and a zero-copy int64 view (m < 2^31 so the top
+    bit is never set).
+    """
     j = np.arange(k, dtype=_U64)
     with np.errstate(over="ignore"):
-        idx = (h1[:, None] + j[None, :] * h2[:, None]) % _U64(m)
-    return idx.astype(np.int64, copy=False)
+        x = h1[:, None] + j[None, :] * h2[:, None]
+        idx = ((x >> _U64(32)) * _U64(m)) >> _U64(32)
+    return idx.view(np.int64)
+
+
+def bloom_indexes(keys: np.ndarray, k: int, m: int, seed: int = 0) -> np.ndarray:
+    """(n,) integer keys → (n, k) bucket indexes in [0, m)."""
+    h1, h2 = hash_pair(keys, seed=seed)
+    return indexes_from_pair(h1, h2, k, m)
 
 
 def clz64(x: np.ndarray) -> np.ndarray:

@@ -57,6 +57,9 @@ class TimingParams(BloomParams):
     """
 
     window_ticks: int = 1 << 30  # "decay_time" expressed in ticks
+    # bucket width for the absolute tick stamps: 32-bit halves payload
+    # and shuffle bytes; use 64 when tick numbers can exceed 2^31-1
+    tick_bits: int = 32
 
 
 @dataclass(frozen=True)
@@ -70,6 +73,7 @@ class ScalingParams:
     capacity: int
     error: float = 0.005
     window_ticks: int = 1 << 30
+    tick_bits: int = 32
     error_tightening_ratio: float = 0.5
     growth_factor: int = 2
     max_fill_factor: float = 0.8
@@ -82,6 +86,7 @@ class ScalingParams:
             capacity=int(self.capacity * (self.growth_factor**i)),
             error=self.error * (1.0 - r) * (r**i),
             window_ticks=self.window_ticks,
+            tick_bits=self.tick_bits,
         )
 
     def expected_error(self, live_tiers: int) -> float:

@@ -66,29 +66,21 @@ def _tick_array(tbl, n: int) -> np.ndarray:
     return np.ones(n, dtype=np.int64)
 
 
-def _values_for(spec: SketchSpec, tbl, row_ticks: np.ndarray):
-    """(values, ticks) aligned 1:1 for this spec's value stream."""
-    if spec.value == "tokens":
-        col = tbl.column("tokens")
-        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
-        counts = np.diff(col.offsets.to_numpy(zero_copy_only=False).astype(np.int64))
-        return flat, np.repeat(row_ticks, counts)
-    if spec.value == "doc_id":
-        keys = hash64_strings(tbl.column("doc_id").to_pylist()).astype(np.int64)
-        return keys, row_ticks
-    if spec.value == "n_tok":
-        return tbl.column("n_tok").to_numpy(zero_copy_only=False).astype(np.float64), row_ticks
-    raise ValueError(f"unknown value stream {spec.value}")
-
-
-def _apply_update(sk: Sketch, spec: SketchSpec, vals: np.ndarray, ticks: np.ndarray) -> Sketch:
+def _apply_update(sk: Sketch, spec: SketchSpec, vals, ticks, pair=None) -> Sketch:
+    """Dispatch one batch into a sketch, passing shared hashes where
+    the sketch can reuse them (hash each key once per batch, not once
+    per sketch)."""
     kind = spec.kind
-    if kind in ("tbf", "stbf"):
-        sk.add_batch(vals, ticks)
-    elif kind in ("cbf", "hll", "cms"):
-        sk.add_batch(vals.astype(np.int64, copy=False))
+    if kind == "tbf" or kind == "stbf":
+        sk.add_batch(vals, ticks, pair=pair)
+    elif kind == "cbf":
+        sk.add_batch(vals, pair=pair)
+    elif kind == "hll":
+        sk.add_batch(vals, h=pair[0] if pair is not None else None)
+    elif kind == "cms":
+        sk.add_batch(vals)
     elif kind in ("tdigest", "kll"):
-        sk.add_batch(vals.astype(np.float64, copy=False))
+        sk.add_batch(np.asarray(vals, dtype=np.float64))
     else:
         raise ValueError(f"unknown sketch kind {kind}")
     return sk
@@ -99,10 +91,17 @@ def make_update_fn(specs: list[SketchSpec], group_cols: tuple[str, ...], salt_mo
     Arrow batches, maintains one sketch per (spec, group), emits one
     partial row per state plus a lineage row (SURVEY.md §3.3)."""
     spec_list = [(s, params_to_json(s.params)) for s in specs]
+    need_token_pair = any(
+        s.value == "tokens" and s.kind in ("cbf", "tbf", "stbf", "hll") for s in specs
+    )
+    need_doc_keys = any(s.value == "doc_id" for s in specs)
+    need_ntok = any(s.value == "n_tok" for s in specs)
 
     def update(iterator: Iterable) -> Iterable:
         import pyarrow as pa
         from pyspark import TaskContext
+
+        from .hashing import hash_pair
 
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else 0
@@ -127,16 +126,15 @@ def make_update_fn(specs: list[SketchSpec], group_cols: tuple[str, ...], salt_mo
                 codes, uniques = pd.factorize(gk)
             else:
                 codes, uniques = np.zeros(nb, dtype=np.int64), [""]
-            # ingest-invariant digest: order-independent XOR of per-row
-            # token-content hashes (BASELINE.json:15 token-array equality)
+            # flatten ONCE per batch (explode-free, zero-copy), hash ONCE
             tok_col = tbl.column("tokens")
             flat_all = tok_col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
             counts_all = np.diff(tok_col.offsets.to_numpy(zero_copy_only=False).astype(np.int64))
             n_tokens += int(flat_all.size)
-            # per-row digest = (sum of token mixes) + mix(row length), all
-            # wrapping mod 2^64; row sums via prefix-sum differencing
-            # (exact under wraparound, no reduceat edge cases); partition
-            # digest = XOR of row digests (order-independent)
+            # ingest-invariant digest (BASELINE.json:15): per-row digest =
+            # (sum of token mixes) + mix(row length), wrapping mod 2^64;
+            # row sums via prefix-sum differencing; partition digest =
+            # XOR of row digests (order-independent)
             with np.errstate(over="ignore"):
                 row_mix = splitmix64(flat_all.astype(np.uint64))
                 ps = np.concatenate([np.zeros(1, np.uint64), np.cumsum(row_mix, dtype=np.uint64)])
@@ -146,17 +144,46 @@ def make_update_fn(specs: list[SketchSpec], group_cols: tuple[str, ...], salt_mo
                 if row_sums.size:
                     token_digest ^= np.bitwise_xor.reduce(row_sums)
 
+            tok_ticks = np.repeat(row_ticks, counts_all)
+            tok_codes = np.repeat(codes, counts_all) if len(uniques) > 1 else None
+            h1 = h2 = None
+            if need_token_pair:
+                h1, h2 = hash_pair(flat_all)
+            ntok_arr = (
+                tbl.column("n_tok").to_numpy(zero_copy_only=False).astype(np.float64)
+                if need_ntok
+                else None
+            )
+            doc_keys = (
+                hash64_strings(tbl.column("doc_id").to_pylist()).view(np.int64)
+                if need_doc_keys
+                else None
+            )
+
             for gi, gval in enumerate(uniques):
-                mask = codes == gi
-                sub = tbl.filter(pa.array(mask)) if len(uniques) > 1 else tbl
-                sub_ticks = row_ticks[mask] if len(uniques) > 1 else row_ticks
+                if len(uniques) > 1:
+                    tmask = tok_codes == gi
+                    rmask = codes == gi
+                    g_flat = flat_all[tmask]
+                    g_ticks = tok_ticks[tmask]
+                    g_pair = (h1[tmask], h2[tmask]) if need_token_pair else None
+                else:
+                    rmask = slice(None)
+                    g_flat, g_ticks = flat_all, tok_ticks
+                    g_pair = (h1, h2) if need_token_pair else None
                 for si, (spec, _) in enumerate(spec_list):
-                    vals, ticks = _values_for(spec, sub, sub_ticks)
                     key = (si, str(gval))
                     sk = states.get(key)
                     if sk is None:
                         sk = states[key] = spec.zero()
-                    _apply_update(sk, spec, vals, ticks)
+                    if spec.value == "tokens":
+                        _apply_update(sk, spec, g_flat, g_ticks, pair=g_pair)
+                    elif spec.value == "n_tok":
+                        _apply_update(sk, spec, ntok_arr[rmask], row_ticks[rmask])
+                    elif spec.value == "doc_id":
+                        _apply_update(sk, spec, doc_keys[rmask], row_ticks[rmask])
+                    else:
+                        raise ValueError(f"unknown value stream {spec.value}")
 
         rows = {
             "spec": [], "group": [], "salt": [], "payload": [], "n_items": [],
@@ -225,6 +252,7 @@ def build_sketches(
     tick_col=None,
     partitions: int | None = None,
     salt_mod: int = 16,
+    two_stage: bool | None = None,
 ):
     """Run the full build: returns a DataFrame of final sketch rows
     (spec, group, payload, n_items) plus passthrough lineage rows.
@@ -235,12 +263,19 @@ def build_sketches(
     - ``partitions``: explicit repartition width; default
       2 × defaultParallelism (BASELINE.json:6 explicit repartitioning).
     - ``salt_mod``: stage-1 salt fan-out for hot groups.
+    - ``two_stage``: force/skip the salted pre-merge. Default: on only
+      when a group would otherwise collect > 64 partials in a single
+      merge task (the two-stage plan costs an extra shuffle, which only
+      pays off once per-group partial counts are large — at 1000
+      executors it is essential, at local scale it is pure overhead).
     """
     from pyspark.sql import functions as F
 
     spark = df.sparkSession
     if partitions is None:
         partitions = 2 * spark.sparkContext.defaultParallelism
+    if two_stage is None:
+        two_stage = partitions > 64
     cols = list(dict.fromkeys([*group_cols, "doc_id", "tokens", "n_tok"]))
     sel = df.select(*cols, (tick_col if tick_col is not None else F.lit(1)).cast("long").alias("tick"))
     # explicit skew-salted shuffle: spread each hot group over many
@@ -249,10 +284,13 @@ def build_sketches(
         partitions, *[F.col(c) for c in group_cols], F.pmod(F.xxhash64("doc_id"), F.lit(partitions))
     )
     partials = salted.mapInArrow(
-        make_update_fn(specs, group_cols, salt_mod), schema=PARTIAL_DDL
+        make_update_fn(specs, group_cols, salt_mod if two_stage else 1), schema=PARTIAL_DDL
     )
-    stage1 = partials.groupBy("spec", "group", "salt").applyInPandas(_merge_pdf, schema=PARTIAL_DDL)
-    final = stage1.groupBy("spec", "group").applyInPandas(_merge_pdf, schema=PARTIAL_DDL)
+    if two_stage:
+        partials = partials.groupBy("spec", "group", "salt").applyInPandas(
+            _merge_pdf, schema=PARTIAL_DDL
+        )
+    final = partials.groupBy("spec", "group").applyInPandas(_merge_pdf, schema=PARTIAL_DDL)
     return final.select("spec", "group", "payload", "n_items")
 
 

@@ -28,9 +28,12 @@ def sketch_from_bytes(buf: bytes) -> Sketch:
     """Dispatch on the serialized sketch name."""
     import struct
 
-    nlen = struct.unpack_from("<B", buf, 5)[0]
-    name = buf[6 : 6 + nlen].decode()
-    return REGISTRY[name].from_bytes(buf)
+    from .base import decompress_blob
+
+    raw = decompress_blob(buf)
+    nlen = struct.unpack_from("<B", raw, 5)[0]
+    name = raw[6 : 6 + nlen].decode()
+    return REGISTRY[name].from_bytes(raw)
 
 
 __all__ = [

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..hashing import bloom_indexes
+from ..hashing import bloom_indexes, hash_pair, indexes_from_pair
 from ..params import BloomParams, params_from_json, params_to_json
 from .base import Sketch, pack, unpack
 
@@ -43,12 +43,15 @@ class CountingBloomFilter(Sketch):
         return cls(params)
 
     # ---- update (vectorized batch) ----
-    def add_batch(self, keys: np.ndarray) -> "CountingBloomFilter":
-        """Saturating scatter-add of k counters per key; whole batch at once."""
+    def add_batch(self, keys: np.ndarray, pair=None) -> "CountingBloomFilter":
+        """Saturating scatter-add of k counters per key; whole batch at
+        once. ``pair`` lets the pipeline share one hash_pair(keys)
+        across every Bloom-family sketch in the batch."""
         keys = np.asarray(keys)
         if keys.size == 0:
             return self
-        idx = bloom_indexes(keys, self.k, self.m).ravel()
+        h1, h2 = pair if pair is not None else hash_pair(keys)
+        idx = indexes_from_pair(h1, h2, self.k, self.m).ravel()
         inc = np.bincount(idx, minlength=self.m).astype(np.int64)
         wide = self.counts.astype(np.int64)
         wide += inc

@@ -38,11 +38,14 @@ class HyperLogLog(Sketch):
     def zero(cls, params: HLLParams) -> "HyperLogLog":
         return cls(params)
 
-    def add_batch(self, keys: np.ndarray) -> "HyperLogLog":
+    def add_batch(self, keys: np.ndarray, h: np.ndarray | None = None) -> "HyperLogLog":
+        """``h`` lets the pipeline pass the shared hash64(keys) (the
+        Bloom family's h1) so keys hash once per batch."""
         keys = np.asarray(keys)
         if keys.size == 0:
             return self
-        h = hash64(keys)
+        if h is None:
+            h = hash64(keys)
         j = (h >> np.uint64(64 - self.p)).astype(np.int64)
         w = h << np.uint64(self.p)  # remaining 64-p bits, left-aligned
         rho = (clz64(w) + 1).clip(max=64 - self.p + 1).astype(np.uint8)

@@ -26,7 +26,7 @@ import struct
 import numpy as np
 
 from ..params import ScalingParams, params_from_json, params_to_json
-from .base import MAGIC, Sketch, VERSION
+from .base import MAGIC, Sketch, VERSION, compress_blob, decompress_blob
 from .tbf import TimingBloomFilter
 
 
@@ -51,7 +51,7 @@ class ScalingTimingBloomFilter(Sketch):
         return self.tiers[i]
 
     # ---- update ----
-    def add_batch(self, keys: np.ndarray, key_ticks: np.ndarray | int) -> "ScalingTimingBloomFilter":
+    def add_batch(self, keys: np.ndarray, key_ticks: np.ndarray | int, pair=None) -> "ScalingTimingBloomFilter":
         """Insert into the newest tier, growing a new tier whenever the
         newest tier's fill-ratio exceeds max_fill_factor.
 
@@ -64,6 +64,9 @@ class ScalingTimingBloomFilter(Sketch):
             return self
         scalar_tick = np.ndim(key_ticks) == 0
         kt = None if scalar_tick else np.asarray(key_ticks, dtype=np.int64)
+        from ..hashing import hash_pair
+
+        h1, h2 = pair if pair is not None else hash_pair(keys)
         pos = 0
         while pos < keys.size:
             tail = self._ensure_tier(max(0, len(self.tiers) - 1))
@@ -75,7 +78,11 @@ class ScalingTimingBloomFilter(Sketch):
                 self._ensure_tier(len(self.tiers))  # grow, retry loop
                 continue
             chunk = slice(pos, pos + budget)
-            tail.add_batch(keys[chunk], key_ticks if scalar_tick else kt[chunk])
+            tail.add_batch(
+                keys[chunk],
+                key_ticks if scalar_tick else kt[chunk],
+                pair=(h1[chunk], h2[chunk]),
+            )
             pos += budget
         self.n_items += int(keys.size)
         return self
@@ -140,10 +147,11 @@ class ScalingTimingBloomFilter(Sketch):
             blob = t.to_bytes()
             out.append(struct.pack("<Q", len(blob)))
             out.append(blob)
-        return b"".join(out)
+        return compress_blob(b"".join(out))
 
     @classmethod
     def from_bytes(cls, buf: bytes) -> "ScalingTimingBloomFilter":
+        buf = decompress_blob(buf)
         mv = memoryview(buf)
         if bytes(mv[:4]) != MAGIC:
             raise ValueError("bad sketch magic")

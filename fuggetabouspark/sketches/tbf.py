@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..hashing import bloom_indexes
+from ..hashing import bloom_indexes, hash_pair, indexes_from_pair
 from ..params import TimingParams, params_from_json, params_to_json
 from .base import Sketch, pack, unpack
 
@@ -37,7 +37,8 @@ class TimingBloomFilter(Sketch):
         self.params = params
         self.m, self.k = params.m, params.k
         self.window = int(params.window_ticks)
-        self.ticks = ticks if ticks is not None else np.zeros(self.m, dtype=np.int64)
+        self.dtype = np.int32 if getattr(params, "tick_bits", 64) == 32 else np.int64
+        self.ticks = ticks if ticks is not None else np.zeros(self.m, dtype=self.dtype)
         self.n_items = int(n_items)
 
     @classmethod
@@ -45,35 +46,47 @@ class TimingBloomFilter(Sketch):
         return cls(params)
 
     # ---- update ----
-    def add_batch(self, keys: np.ndarray, key_ticks: np.ndarray | int) -> "TimingBloomFilter":
+    def add_batch(self, keys: np.ndarray, key_ticks: np.ndarray | int, pair=None) -> "TimingBloomFilter":
         """Stamp k buckets per key with max(bucket, tick), whole batch.
 
-        Vectorization trick: group keys by distinct tick (few per batch)
-        in ascending order; within a group every scatter value is the
-        same scalar, so ``ticks[idx] = maximum(ticks[idx], t)`` is an
-        exact elementwise max even with duplicate indexes — no slow
-        ``np.maximum.at`` needed. Ascending order makes later (larger)
-        groups win ties against earlier ones, which is also max.
+        Vectorization trick: process keys in ascending-tick order; when
+        every scatter value in a slice is the same scalar t,
+        ``ticks[idx] = maximum(ticks[idx], t)`` is an exact elementwise
+        max even with duplicate indexes (no slow ``np.maximum.at``).
+        Few distinct ticks (the common contiguous-batch case) → one
+        slice per tick; many distinct ticks → a single stable argsort
+        pass where last-write-wins resolves duplicates to the max.
+        ``pair`` shares hash_pair(keys) across sketches.
         """
         keys = np.asarray(keys)
         if keys.size == 0:
             return self
+        tick_max = np.iinfo(self.dtype).max
+        h1, h2 = pair if pair is not None else hash_pair(keys)
         if np.ndim(key_ticks) == 0:
             tick = int(key_ticks)
-            if tick <= 0:
-                raise ValueError("ticks must be positive (0 means empty bucket)")
-            idx = bloom_indexes(keys, self.k, self.m).ravel()
+            if not (0 < tick <= tick_max):
+                raise ValueError(f"ticks must be in (0, {tick_max}] for tick_bits={getattr(self.params, 'tick_bits', 64)}")
+            idx = indexes_from_pair(h1, h2, self.k, self.m).ravel()
             self.ticks[idx] = np.maximum(self.ticks[idx], tick)
         else:
             kt = np.asarray(key_ticks, dtype=np.int64)
             if kt.shape != keys.shape:
                 raise ValueError("keys and key_ticks must align")
-            if kt.size and int(kt.min()) <= 0:
-                raise ValueError("ticks must be positive (0 means empty bucket)")
-            for t in np.unique(kt):  # ascending
-                sel = keys[kt == t]
-                idx = bloom_indexes(sel, self.k, self.m).ravel()
-                self.ticks[idx] = np.maximum(self.ticks[idx], int(t))
+            if kt.size and not (0 < int(kt.min()) and int(kt.max()) <= tick_max):
+                raise ValueError(f"ticks must be in (0, {tick_max}]")
+            uniq = np.unique(kt)
+            idx = indexes_from_pair(h1, h2, self.k, self.m)
+            if uniq.size <= 64:
+                for t in uniq:  # ascending
+                    rows = idx[kt == t].ravel()
+                    self.ticks[rows] = np.maximum(self.ticks[rows], int(t))
+            else:
+                order = np.argsort(kt, kind="stable")
+                flat = idx[order].ravel()
+                tval = np.repeat(kt[order], self.k).astype(self.dtype)
+                # ascending writes: duplicates resolve to the largest tick
+                self.ticks[flat] = np.maximum(self.ticks[flat], tval)
         self.n_items += int(keys.size)
         return self
 
@@ -118,4 +131,4 @@ class TimingBloomFilter(Sketch):
         name, pj, n_items, arrays = unpack(buf)
         if name != cls.NAME:
             raise ValueError(f"expected {cls.NAME}, got {name}")
-        return cls(params_from_json(pj), arrays[0].astype(np.int64, copy=False), n_items)
+        return cls(params_from_json(pj), arrays[0], n_items)

@@ -1,0 +1,165 @@
+"""Training-data ops over the driver testdata (read-only sf0.001):
+dedup family, similarity search, text analysis, multimodal plumbing —
+with DuckDB as the exact oracle where SQL can express the answer.
+"""
+
+import duckdb
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from fuggetabouspark.dataops import (
+    brute_force_topk,
+    exact_dedup,
+    language_id,
+    lsh_bucket_topk,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    quality_score,
+    simhash_buckets,
+    token_counts,
+)
+from fuggetabouspark.dataops.multimodal import decode_and_featurize, synthesize_media
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+class TestTextStats:
+    def test_token_counts_match_duckdb(self, docs):
+        got = {r.doc_id: r.n_words for r in token_counts(docs).collect()}
+        want = dict(
+            duckdb.sql(
+                f"select doc_id, len(string_split(text,' ')) from '{SF}/documents.parquet'"
+            ).fetchall()
+        )
+        assert got == want
+
+    def test_quality_deterministic_and_bounded(self, docs):
+        rows = quality_score(docs).collect()
+        assert all(0.0 <= r.quality <= 1.0 for r in rows)
+        again = {r.doc_id: r.quality for r in quality_score(docs).collect()}
+        assert {r.doc_id: r.quality for r in rows} == again
+
+    def test_language_id_covers_all_docs(self, docs):
+        rows = language_id(docs).collect()
+        assert len(rows) == docs.count()
+        assert {r.lang_pred for r in rows} <= {"en", "es", "de", "fr", "zh", "und"}
+
+
+class TestDedup:
+    def test_exact_dedup_matches_duckdb(self, spark, docs):
+        from pyspark.sql import Row
+
+        with_dup = docs.select("doc_id", "text").unionAll(
+            spark.createDataFrame(
+                [Row(doc_id=99901, text=docs.first()["text"]),
+                 Row(doc_id=99902, text=docs.first()["text"])]
+            )
+        ).withColumn("source", F.lit("x"))
+        groups = exact_dedup(with_dup).collect()
+        assert len(groups) == 1 and groups[0]["n_copies"] == 3
+
+    def test_minhash_lsh_finds_planted_near_dup(self, spark, docs):
+        from pyspark.sql import Row
+
+        base = docs.first()["text"]
+        near = base + " extra"
+        aug = docs.select("doc_id", "source", "text").unionAll(
+            spark.createDataFrame([Row(doc_id=88801, source="x", text=near)])
+        )
+        sig = minhash_signatures(aug, num_hashes=64)
+        cand = minhash_lsh_candidates(sig, bands=16, rows_per_band=4)
+        pairs = {(r.doc_a, r.doc_b) for r in cand.collect()}
+        first_id = docs.first()["doc_id"]
+        assert (min(first_id, 88801), max(first_id, 88801)) in pairs
+
+    def test_simhash_near_dup_shares_band(self, spark, docs):
+        from pyspark.sql import Row
+
+        base = docs.first()["text"]
+        aug = docs.select("doc_id", "source", "text").unionAll(
+            spark.createDataFrame([Row(doc_id=88802, source="x", text=base + " z")])
+        )
+        sh = {r.doc_id: r for r in simhash_buckets(aug).collect()}
+        a, b = sh[docs.first()["doc_id"]], sh[88802]
+        bands_a = [a[f"band{i}"] for i in range(4)]
+        bands_b = [b[f"band{i}"] for i in range(4)]
+        assert any(x == y for x, y in zip(bands_a, bands_b)), "near-dup must share a simhash band"
+        ham = bin((a.simhash ^ b.simhash) & ((1 << 64) - 1)).count("1")
+        assert ham <= 8
+
+    def test_ngram_jaccard_exact_vs_duckdb(self, spark, docs):
+        """Exact 3-gram jaccard on a planted pair matches hand math."""
+        from pyspark.sql import Row
+
+        t1 = "a b c d e f g h"
+        t2 = "a b c d e f g x"
+        df = spark.createDataFrame(
+            [Row(doc_id=1, source="s", text=t1), Row(doc_id=2, source="s", text=t2)]
+        )
+        got = ngram_jaccard_pairs(df, threshold=0.0).collect()
+        assert len(got) == 1
+        # 6 trigrams each, 5 shared -> 5/7
+        assert abs(got[0]["jaccard"] - 5 / 7) < 1e-3
+
+
+class TestSimilarity:
+    def test_brute_force_matches_duckdb(self, spark, emb):
+        qs = emb.orderBy("vec_id").limit(3).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+        )
+        got = [(r.query_id, r.vec_id, r.rank) for r in
+               brute_force_topk(emb, qs, k=5).orderBy("query_id", "rank").collect()]
+        want = duckdb.sql(
+            f"""
+            with e as (select * from '{SF}/embeddings.parquet'),
+            q as (select vec_id qid, embedding qv from e where vec_id < 3)
+            select qid, vec_id, rnk from (
+              select qid, vec_id, row_number() over
+                (partition by qid order by list_cosine_similarity(embedding, qv) desc, vec_id) rnk
+              from e, q) t where rnk <= 5 order by qid, rnk
+            """
+        ).fetchall()
+        assert got == [tuple(w) for w in want]
+
+    def test_lsh_topk_recall(self, spark, emb):
+        dim = len(emb.select("embedding").first()[0])
+        qs = emb.orderBy("vec_id").limit(5).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+        )
+        exact = brute_force_topk(emb, qs, k=1).collect()
+        approx = lsh_bucket_topk(emb, qs, dim=dim, k=1, bits=6).collect()
+        # self-vector (cos=1) must always be found: it shares its own bucket
+        exact_top = {(r.query_id, r.vec_id) for r in exact}
+        approx_top = {(r.query_id, r.vec_id) for r in approx}
+        assert exact_top == approx_top
+
+
+class TestMultimodal:
+    def test_feature_plumbing(self, spark):
+        media = synthesize_media(spark, n=12, kind="video")
+        feats = decode_and_featurize(media, frames_per_media=2)
+        rows = feats.collect()
+        assert all(len(r.feature) == 8 for r in rows)
+        n_frames = {r["media_id"]: r["n_frames"] for r in media.collect()}
+        got = {}
+        for r in rows:
+            got.setdefault(r.media_id, 0)
+            got[r.media_id] += 1
+        assert all(got[m] == min(2, n_frames[m]) for m in got)
+
+    def test_real_decode_is_marked_stub(self, spark):
+        media = synthesize_media(spark, n=2)
+        with pytest.raises(Exception, match="NotImplementedError|decode"):
+            decode_and_featurize(media, fake=False).collect()
