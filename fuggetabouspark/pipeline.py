@@ -253,6 +253,7 @@ def build_sketches(
     partitions: int | None = None,
     salt_mod: int = 16,
     two_stage: bool | None = None,
+    stbf_fanin: int | None = None,
 ):
     """Run the full build: returns a DataFrame of final sketch rows
     (spec, group, payload, n_items) plus passthrough lineage rows.
@@ -268,6 +269,23 @@ def build_sketches(
       merge task (the two-stage plan costs an extra shuffle, which only
       pays off once per-group partial counts are large — at 1000
       executors it is essential, at local scale it is pure overhead).
+    - ``stbf_fanin``: guarantees the merged STBF's FPR bound when tier
+      growth actually happens, by giving each partial
+      max_fill_factor / fanin of every tier's budget (set it to the
+      total partial count: partitions, × shards for resumable builds).
+      Two key-distribution regimes decide whether you need it:
+      * DISJOINT keys (doc_id dedup — repartition on hash(doc_id) puts
+        every key on exactly one partition): local distinct ≈ total/P,
+        ladders stay short, and the split is exactly right → set
+        stbf_fanin=partitions.
+      * OVERLAPPING keys (token membership — every partition sees the
+        hot vocab): size capacity ≥ expected distinct instead; growth
+        is then a safety net and no split is needed. Splitting in this
+        regime forces every partial to rebuild the whole ladder
+        (observed 6× build cost). Default is therefore 1 (no split);
+        check ``ScalingTimingBloomFilter.effective_error()`` on the
+        merged sketch — it reports the REAL bound from observed fills,
+        so an undersized capacity is visible rather than silent.
     """
     from pyspark.sql import functions as F
 
@@ -276,6 +294,7 @@ def build_sketches(
         partitions = 2 * spark.sparkContext.defaultParallelism
     if two_stage is None:
         two_stage = partitions > 64
+    specs = [_split_stbf_budget(s, stbf_fanin or 1) for s in specs]
     cols = list(dict.fromkeys([*group_cols, "doc_id", "tokens", "n_tok"]))
     sel = df.select(*cols, (tick_col if tick_col is not None else F.lit(1)).cast("long").alias("tick"))
     # explicit skew-salted shuffle: spread each hot group over many
@@ -305,6 +324,20 @@ def merge_rows_to_sketches(rows) -> dict[tuple[str, str], Sketch]:
         sk = sketch_from_bytes(bytes(r["payload"]))
         out[key] = out[key].merge(sk) if key in out else sk
     return out
+
+
+def _split_stbf_budget(spec: SketchSpec, fanin: int) -> SketchSpec:
+    """Give each STBF partial 1/fanin of every tier's fill budget so
+    the tier-wise max-merge union stays within the error bound
+    (SURVEY.md §7.5). Geometry (m, k per tier) is untouched — only the
+    local growth threshold changes — so merges stay compatible across
+    partials of the same build."""
+    from dataclasses import replace
+
+    if spec.kind != "stbf" or fanin <= 1:
+        return spec
+    p = replace(spec.params, max_fill_factor=spec.params.max_fill_factor / fanin)
+    return SketchSpec(spec.name, spec.kind, p, spec.value)
 
 
 def lineage_from_rows(rows) -> list[dict]:

@@ -68,22 +68,45 @@ class ScalingTimingBloomFilter(Sketch):
 
         h1, h2 = pair if pair is not None else hash_pair(keys)
         pos = 0
+        d_prev = None
+        dup_ratio = 1.0  # observed tokens per new distinct key
         while pos < keys.size:
             tail = self._ensure_tier(max(0, len(self.tiers) - 1))
-            # insert budget before this tier is declared full: upstream's
-            # fill check, applied at batch granularity. n_items is this
-            # partial's insert count into the tier (exact, local).
-            budget = int(tail.params.capacity * self.params.max_fill_factor) - tail.n_items
+            # upstream's growth rule: grow when the tier's fill factor
+            # (DISTINCT inserts / capacity) exceeds max_fill_factor.
+            # Distinct inserts are estimated from the bucket fill via
+            # the Bloom model d = -(m/k) ln(1 - fill), which makes the
+            # rule duplicate-insensitive — a 10^12-token stream over a
+            # small vocab stays in one tier — while honoring the FPR
+            # budget (fill at d = capacity is the geometry's design
+            # point, ~0.5 bucket fill for optimal k).
+            import math
+
+            fill = tail.fill_ratio()
+            d_est = -(tail.m / tail.k) * math.log(max(1e-12, 1.0 - fill))
+            budget = int(self.params.max_fill_factor * tail.params.capacity - d_est)
             if budget <= 0:
                 self._ensure_tier(len(self.tiers))  # grow, retry loop
+                d_prev = None
                 continue
-            chunk = slice(pos, pos + budget)
+            # budget is in DISTINCT keys; scale the token chunk by the
+            # observed duplication ratio so a duplicate-heavy stream
+            # (10^12 tokens over a small vocab) advances in O(log)
+            # chunks instead of one fill-check per `budget` tokens
+            if d_prev is not None and d_est > d_prev + 1:
+                dup_ratio = max(dup_ratio, chunk_len / (d_est - d_prev))
+            elif d_prev is not None:
+                dup_ratio *= 2.0  # fill stalled: pure duplicates, ramp up
+            d_prev = d_est
+            floor = min(256, tail.params.capacity // 10) or 1
+            chunk_len = max(floor, int(budget * min(dup_ratio, 1e6)))
+            chunk = slice(pos, pos + chunk_len)
             tail.add_batch(
                 keys[chunk],
                 key_ticks if scalar_tick else kt[chunk],
                 pair=(h1[chunk], h2[chunk]),
             )
-            pos += budget
+            pos += chunk_len
         self.n_items += int(keys.size)
         return self
 
@@ -105,7 +128,21 @@ class ScalingTimingBloomFilter(Sketch):
         return self
 
     def expected_error(self) -> float:
+        """Design-point error budget: 1 - prod(1 - e_i) over live tiers."""
         return self.params.expected_error(len(self.tiers))
+
+    def effective_error(self, now: int | None = None) -> float:
+        """REAL false-positive bound from observed bucket fills:
+        per tier p_i = fill_i^k_i, total 1 - prod(1 - p_i). On a merged
+        sketch this exposes overfilled tiers (e.g. tier unions from
+        partials built without budget splitting) that the design-point
+        formula would hide."""
+        p = 1.0
+        for t in self.tiers:
+            if now is not None:
+                t = TimingBloomFilter(t.params, t.ticks.copy(), t.n_items).decay(now)
+            p *= 1.0 - t.fill_ratio() ** t.k
+        return 1.0 - p
 
     def fill_ratios(self) -> list[float]:
         return [t.fill_ratio() for t in self.tiers]

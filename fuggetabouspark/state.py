@@ -51,6 +51,7 @@ def build_resumable(
     tick_col=None,
     partitions: int | None = None,
     salt_mod: int = 16,
+    stbf_fanin: int | None = None,
     fail_after_shard: int | None = None,
 ):
     """Build shard-by-shard with checkpointing; safe to re-invoke after
@@ -74,6 +75,9 @@ def build_resumable(
         final = build_sketches(
             sub, specs, group_cols=group_cols, tick_col=tick_col,
             partitions=partitions, salt_mod=salt_mod,
+            # an STBF tier's union spans every shard's partials, so a
+            # caller-requested fanin is multiplied by the shard count
+            stbf_fanin=(stbf_fanin * n_shards) if stbf_fanin else None,
         ).withColumn("shard", F.lit(shard))
         # sketch rows first, lineage row last: a shard is only
         # "completed" once its state is durable

@@ -1,0 +1,101 @@
+"""IO schema enforcement + Structured Streaming incremental builds."""
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from fuggetabouspark.fixtures import CORPUS_DDL, local_corpus, make_rows, spark_corpus
+from fuggetabouspark.io import CORPUS_SCHEMA, read_corpus, validate_corpus, write_sketch_state
+from fuggetabouspark.params import HLLParams, TimingParams
+from fuggetabouspark.pipeline import SketchSpec, build_sketches, merge_rows_to_sketches
+from fuggetabouspark.streaming import StreamingSketchBuilder
+
+
+class TestIO:
+    def test_read_corpus_roundtrip(self, spark, tmp_path):
+        p = str(tmp_path / "c")
+        spark_corpus(spark, 500, partitions=2).write.partitionBy("source").parquet(p)
+        df = read_corpus(spark, p)
+        assert set(df.columns) == {"doc_id", "tokens", "n_tok", "source"}
+        v = validate_corpus(df)
+        assert v["ok"] and v["rows"] == 500
+
+    def test_schema_enforcement(self, spark, tmp_path):
+        p = str(tmp_path / "bad")
+        spark_corpus(spark, 50, partitions=1).withColumn(
+            "tokens", F.col("tokens").cast("array<long>")
+        ).write.parquet(p)
+        with pytest.raises(ValueError, match="tokens"):
+            read_corpus(spark, p)
+
+    def test_missing_column(self, spark, tmp_path):
+        p = str(tmp_path / "missing")
+        spark_corpus(spark, 50, partitions=1).drop("n_tok").write.parquet(p)
+        with pytest.raises(ValueError, match="n_tok"):
+            read_corpus(spark, p)
+
+
+class TestStreaming:
+    def test_incremental_equals_batch(self, spark, tmp_path):
+        """Stream the corpus in two file drops; final state must answer
+        membership identically to a one-shot batch build (byte-equal
+        for the max-monoid TBF)."""
+        specs = [
+            SketchSpec("tbf", "tbf", TimingParams(30_000, 0.005, window_ticks=10_000), "tokens"),
+            SketchSpec("hll", "hll", HLLParams(p=12), "tokens"),
+        ]
+        tick = (F.regexp_extract("doc_id", r"(\d+)$", 1).cast("long") % 50) + 1
+
+        inbox = str(tmp_path / "inbox")
+        os.makedirs(inbox)
+        pdf = make_rows(0, 1000)
+        tok_after_1 = int(pdf.n_tok[:500].sum())
+        tok_after_2 = int(pdf.n_tok.sum())
+        full = spark.createDataFrame(pdf)
+        # two drops
+        spark.createDataFrame(make_rows(0, 500)).coalesce(1).write.parquet(
+            inbox, mode="append"
+        )
+
+        b = StreamingSketchBuilder(
+            spark, specs, str(tmp_path / "state"), tick_col=tick, partitions=4, decay=False
+        )
+
+        def tbf_tokens():
+            return sum(sk.n_items for (s, _), sk in b.load_state().items() if s == "tbf")
+
+        q = b.start(inbox, CORPUS_SCHEMA, trigger_seconds=1)
+        try:
+            _wait_for(lambda: tbf_tokens() == tok_after_1, 90)
+            spark.createDataFrame(make_rows(500, 1000)).coalesce(1).write.parquet(
+                inbox, mode="append"
+            )
+            _wait_for(lambda: tbf_tokens() == tok_after_2, 90)
+        finally:
+            q.stop()
+
+        streamed = b.load_state()
+        batch_rows = build_sketches(full, specs, tick_col=tick, partitions=4).collect()
+        batch = merge_rows_to_sketches(batch_rows)
+        assert streamed[("tbf", "web")].ticks.tobytes() == batch[("tbf", "web")].ticks.tobytes()
+        assert streamed[("hll", "web")].registers.tobytes() == batch[("hll", "web")].registers.tobytes()
+        for key in batch:
+            assert streamed[key].n_items == batch[key].n_items
+
+
+def _counts(b):
+    state = b.load_state()
+    return [{"n_rows": sk.n_items} for sk in state.values()]
+
+
+def _wait_for(cond, timeout_s):
+    import time
+
+    t0 = time.time()
+    while time.time() - t0 < timeout_s:
+        if cond():
+            return
+        time.sleep(1.0)
+    raise TimeoutError("stream did not reach expected state")

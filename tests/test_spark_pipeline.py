@@ -47,7 +47,9 @@ def _tick_col():
 ALL_SPECS = [
     SketchSpec("cbf", "cbf", BloomParams(40_000, 0.005), "tokens"),
     SketchSpec("tbf", "tbf", TimingParams(40_000, 0.005, window_ticks=WINDOW), "tokens"),
-    SketchSpec("stbf", "stbf", ScalingParams(10_000, 0.005, window_ticks=WINDOW), "tokens"),
+    # capacity >= distinct tokens (~17.5k/source): the overlap regime,
+    # where the ladder is a safety net (see build_sketches stbf_fanin)
+    SketchSpec("stbf", "stbf", ScalingParams(40_000, 0.005, window_ticks=WINDOW), "tokens"),
     SketchSpec("hll", "hll", HLLParams(p=14), "tokens"),
     SketchSpec("cms", "cms", CMSParams(eps=0.001, delta=0.01), "tokens"),
     SketchSpec("tdigest", "tdigest", TDigestParams(200.0), "n_tok"),
@@ -163,6 +165,32 @@ class TestSemantics:
                 assert got.all(), f"{spec}/{g}: false negatives in window"
                 fpr = sks[(spec, g)].contains_batch(absent, now).mean()
                 assert fpr <= 0.0075, f"{spec}/{g}: FPR {fpr}"
+
+    def test_stbf_distributed_growth_disjoint_keys(self, spark, corpus_pdf):
+        """The doc_id-dedup regime: keys are unique per row and the
+        repartition hashes each key to exactly one partition, so
+        partials hold disjoint key sets. With stbf_fanin=partitions the
+        merged ladder must grow AND hold the configured FPR bound."""
+        P = 8
+        spec = SketchSpec(
+            "sd", "stbf", ScalingParams(300, 0.01, window_ticks=WINDOW), "doc_id"
+        )
+        df = spark_corpus(spark, "xs", partitions=4)
+        rows = build_sketches(
+            df, spec and [spec], group_cols=(), tick_col=_tick_col(),
+            partitions=P, stbf_fanin=P,
+        ).collect()
+        sk = merge_rows_to_sketches(rows)[("sd", "")]
+        assert len(sk.tiers) > 1, "2000 unique doc keys over capacity 300 must grow tiers"
+        # zero false negatives on the inserted doc keys
+        from fuggetabouspark.hashing import hash64_strings
+
+        keys = hash64_strings(corpus_pdf.doc_id.tolist()).view(np.int64)
+        assert sk.contains_batch(keys, now=1001).all()
+        absent = (np.arange(50_000) + 10**9).astype(np.int64)
+        fpr = sk.contains_batch(absent, now=1001).mean()
+        assert fpr <= 0.015, f"merged scaled FPR {fpr} exceeds budget"
+        assert sk.effective_error(now=1001) <= 0.02
 
     def test_expiry_per_source(self, built, corpus_pdf):
         """Tokens seen ONLY early expire once now moves past window."""
