@@ -19,7 +19,7 @@ SEED = 42
 VOCAB = 50_021  # prime vocab size per FIXTURES.md
 SOURCES = np.array(["web", "books", "code", "wiki", "forums"])
 SOURCE_P = np.array([0.80, 0.08, 0.06, 0.04, 0.02])  # skewed: web is hot
-SCALES = {"xs": 2_000, "s": 20_000, "m": 200_000, "l": 1_000_000}
+SCALES = {"xs": 2_000, "s": 20_000, "m": 200_000, "l": 1_000_000, "xl": 4_000_000}
 
 
 def rows_for_scale(scale: str | int) -> int:

@@ -17,12 +17,12 @@ def get_spark(
     app: str = "fuggetabouspark",
     cpus: int | None = None,
     shuffle_partitions: int | None = None,
-    arrow_batch_rows: int = 4096,
+    arrow_batch_rows: int = 2048,
 ) -> SparkSession:
     """Build (or reuse) a local SparkSession.
 
     arrow_batch_rows bounds the flattened-token transient per Arrow
-    batch (SURVEY.md §4.3): ~4096 rows * avg 160 tokens * 4 B ≈ 2.6 MB
+    batch (SURVEY.md §4.3): ~2048 rows * avg 160 tokens * 4 B ≈ 1.3 MB (cache-friendlier for the per-batch dedup sort, measured faster than 4096/16384)
     per batch per worker — spill-free by construction.
     """
     if cpus is None:

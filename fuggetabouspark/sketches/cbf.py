@@ -43,21 +43,24 @@ class CountingBloomFilter(Sketch):
         return cls(params)
 
     # ---- update (vectorized batch) ----
-    def add_batch(self, keys: np.ndarray, pair=None) -> "CountingBloomFilter":
+    def add_batch(self, keys: np.ndarray, pair=None, weights: np.ndarray | None = None) -> "CountingBloomFilter":
         """Saturating scatter-add of k counters per key; whole batch at
         once. ``pair`` lets the pipeline share one hash_pair(keys)
-        across every Bloom-family sketch in the batch."""
+        across every Bloom-family sketch in the batch; ``weights``
+        folds pre-aggregated duplicate counts in one pass (identical
+        result to repeating each key weights[i] times)."""
         keys = np.asarray(keys)
         if keys.size == 0:
             return self
         h1, h2 = pair if pair is not None else hash_pair(keys)
         idx = indexes_from_pair(h1, h2, self.k, self.m).ravel()
-        inc = np.bincount(idx, minlength=self.m).astype(np.int64)
+        w = None if weights is None else np.repeat(np.asarray(weights, dtype=np.int64), self.k)
+        inc = np.bincount(idx, weights=w, minlength=self.m).astype(np.int64)
         wide = self.counts.astype(np.int64)
         wide += inc
         np.minimum(wide, int(_MAX), out=wide)
         self.counts = wide.astype(np.uint16)
-        self.n_items += int(keys.size)
+        self.n_items += int(keys.size if weights is None else np.sum(weights))
         return self
 
     def remove_batch(self, keys: np.ndarray) -> "CountingBloomFilter":

@@ -127,6 +127,24 @@ class TestInvariance:
         d1, d2 = corpus_digest(built), corpus_digest(rows2)
         assert d1 == d2 != 0, "token-array digest must be partitioning-independent"
 
+    def test_storage_aligned_equals_shuffled(self, spark, built, tmp_path):
+        """align='storage' (no corpus shuffle) must produce byte-equal
+        final state for the byte-invariant monoids — partials differ,
+        the merged monoid result cannot."""
+        p = str(tmp_path / "part_corpus")
+        spark_corpus(spark, "xs", partitions=6).write.partitionBy("source").parquet(p)
+        df = spark.read.parquet(p).select("doc_id", "tokens", "n_tok", "source")
+        rows2 = build_sketches(
+            df,
+            [s for s in ALL_SPECS if s.name in BYTE_INVARIANT],
+            tick_col=_tick_col(),
+            partitions=4,
+            align="storage",
+        ).collect()
+        a, b = _payloads(built), _payloads(rows2)
+        for key in b:
+            assert a[key] == b[key], f"{key}: storage-aligned build diverged"
+
     def test_tree_merge_equals_groupby(self, spark):
         df = spark_corpus(spark, "xs", partitions=6)
         spec = SketchSpec("hllg", "hll", HLLParams(p=12), "tokens")
