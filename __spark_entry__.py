@@ -189,6 +189,53 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(out, "source string, word string, cnt long, rnk long")
 
 
+def q_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra–Gries top-10 words per source through the pipeline. k is
+    sized above the distinct-word count, so counters are exact and the
+    same SQL oracle as the CMS entry applies (tests pin the lossy
+    regime's N/(k+1) bounds instead)."""
+    from fuggetabouspark.sketches import MGParams
+    from fuggetabouspark.pipeline import SketchSpec
+
+    _, sks = _build(spark, sf_dir, [SketchSpec("g", "mg", MGParams(k=65536), "tokens")])
+    # map tokens back to words via the exact candidate list (hash is
+    # collision-free in 64-bit space at this scale)
+    cand = (
+        _docs(spark, sf_dir)
+        .select("source", F.explode(F.split("text", " ")).alias("word"))
+        .distinct()
+        .select("source", "word", F.xxhash64("word").alias("tok"))
+        .collect()
+    )
+    tok2word = {}
+    for r in cand:
+        tok2word[(r["source"], r["tok"])] = r["word"]
+    out = []
+    for (sname, group), sk in sorted(sks.items()):
+        import numpy as np
+
+        order = np.lexsort((sk.keys, -sk.counts))
+        ranked = sorted(
+            ((tok2word[(group, int(sk.keys[i]))], int(sk.counts[i])) for i in order),
+            key=lambda wc: (-wc[1], wc[0]),
+        )[:10]
+        out.extend((group, w, c, r + 1) for r, (w, c) in enumerate(ranked))
+    return spark.createDataFrame(out, "source string, word string, cnt long, rnk long")
+
+
+def q_top_docs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL window-function plumbing: 3 longest docs per source."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("source").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    return (
+        _docs(spark, sf_dir)
+        .select("source", "doc_id", "n_chars", F.row_number().over(w).alias("rnk"))
+        .where(F.col("rnk") <= 3)
+        .select("source", "doc_id", F.col("n_chars").cast("long").alias("n_chars"), F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
 def q_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fuggetabouspark.params import TDigestParams
     from fuggetabouspark.pipeline import SketchSpec
@@ -422,6 +469,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cbf_token_totals": q_cbf_token_totals,
         "hll_decayed_cardinality": q_hll_decayed_cardinality,
         "cms_heavy_hitters": q_cms_heavy_hitters,
+        "mg_heavy_hitters": q_mg_heavy_hitters,
+        "top_docs_per_source": q_top_docs_per_source,
         "tdigest_quantiles": q_tdigest_quantiles,
         "kll_quantiles": q_kll_quantiles,
         "lineage_digest": q_lineage_digest,
@@ -473,6 +522,21 @@ def oracle_sql() -> dict[str, str]:
                          row_number() OVER (PARTITION BY source ORDER BY cnt DESC, word) AS rnk
                   FROM c)
             SELECT source, word, cnt, rnk FROM r WHERE rnk <= 10
+        """,
+        "mg_heavy_hitters": """
+            WITH w AS (SELECT source, unnest(string_split(text,' ')) AS word FROM documents),
+            c AS (SELECT source, word, count(*) AS cnt FROM w GROUP BY source, word),
+            r AS (SELECT source, word, cnt,
+                         row_number() OVER (PARTITION BY source ORDER BY cnt DESC, word) AS rnk
+                  FROM c)
+            SELECT source, word, cnt, rnk FROM r WHERE rnk <= 10
+        """,
+        "top_docs_per_source": """
+            SELECT source, doc_id, n_chars, rnk FROM (
+                SELECT source, doc_id, n_chars,
+                       row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rnk
+                FROM documents) t
+            WHERE rnk <= 3
         """,
         "distinct_words_per_source": """
             SELECT source, count(DISTINCT word) AS n_distinct

@@ -110,7 +110,7 @@ def _apply_update(sk: Sketch, spec: SketchSpec, vals, ticks, pair=None,
         sk.add_batch(vals, h=pair[0] if pair is not None else None)
         if raw_n is not None:
             sk.n_items = before + raw_n
-    elif kind == "cms":
+    elif kind == "cms" or kind == "mg":
         sk.add_batch(vals, weights=weights)
     elif kind in ("tdigest", "kll"):
         sk.add_batch(np.asarray(vals, dtype=np.float64))

@@ -6,6 +6,7 @@ from .cbf import CountingBloomFilter
 from .cms import CountMinSketch
 from .hll import HyperLogLog
 from .kll import KLL
+from .mg import MGParams, MisraGries
 from .stbf import ScalingTimingBloomFilter
 from .tbf import TimingBloomFilter
 from .tdigest import TDigest
@@ -20,6 +21,7 @@ REGISTRY = {
         CountMinSketch,
         TDigest,
         KLL,
+        MisraGries,
     )
 }
 
@@ -45,6 +47,8 @@ __all__ = [
     "CountMinSketch",
     "TDigest",
     "KLL",
+    "MisraGries",
+    "MGParams",
     "REGISTRY",
     "sketch_from_bytes",
     "pack",

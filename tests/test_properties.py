@@ -1,0 +1,95 @@
+"""Property-based invariants (hypothesis): hold for ARBITRARY inputs,
+not just the fixture distributions.
+
+- Bloom family: no false negatives, ever; merge == concatenated build
+  (homomorphism) for the byte-invariant monoids.
+- TBF: window answers consistent under decay (decay never creates
+  false negatives for in-window keys).
+- Quantile sketches: quantiles always inside [min, max]; total mass
+  preserved by KLL compaction.
+- MG: never overcounts, undercount <= N/(k+1).
+"""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from fuggetabouspark.params import BloomParams, KLLParams, TDigestParams, TimingParams
+from fuggetabouspark.sketches import (
+    KLL,
+    CountingBloomFilter,
+    MGParams,
+    MisraGries,
+    TDigest,
+    TimingBloomFilter,
+)
+
+keys_arrays = st.lists(st.integers(min_value=-(2**62), max_value=2**62), min_size=1, max_size=300).map(
+    lambda xs: np.asarray(xs, dtype=np.int64)
+)
+float_arrays = st.lists(
+    st.floats(min_value=-1e9, max_value=1e9, allow_nan=False), min_size=1, max_size=400
+).map(lambda xs: np.asarray(xs, dtype=np.float64))
+
+
+@settings(max_examples=50, deadline=None)
+@given(keys_arrays, st.integers(1, 3))
+def test_cbf_no_false_negatives_and_merge_homomorphism(keys, nsplit):
+    p = BloomParams(1000, 0.01)
+    whole = CountingBloomFilter.zero(p).add_batch(keys)
+    assert whole.contains_batch(keys).all()
+    chunks = np.array_split(keys, nsplit)
+    acc = CountingBloomFilter.zero(p)
+    for c in chunks:
+        acc = acc.merge(CountingBloomFilter.zero(p).add_batch(c))
+    assert acc.to_bytes() == whole.to_bytes()
+
+
+@settings(max_examples=50, deadline=None)
+@given(keys_arrays, st.integers(1, 100), st.integers(1, 100))
+def test_tbf_window_consistency(keys, t1, window):
+    p = TimingParams(1000, 0.01, window_ticks=window)
+    f = TimingBloomFilter.zero(p).add_batch(keys, t1)
+    # within window: zero false negatives
+    assert f.contains_batch(keys, now=t1).all()
+    assert f.contains_batch(keys, now=t1 + window - 1).all()
+    # decay at a 'now' that keeps the keys in-window must not evict them
+    f.decay(now=t1 + window - 1)
+    assert f.contains_batch(keys, now=t1 + window - 1).all()
+    # past the window the keys are gone (exactly, after decay)
+    f.decay(now=t1 + window + 1)
+    assert not f.contains_batch(keys, now=t1 + window + 1).any()
+
+
+@settings(max_examples=40, deadline=None)
+@given(float_arrays)
+def test_tdigest_quantiles_bounded_and_mass(vals):
+    t = TDigest.from_values(TDigestParams(100.0), vals)
+    qs = t.quantiles(np.array([0.0, 0.25, 0.5, 0.75, 1.0]))
+    assert (qs >= vals.min() - 1e-9).all() and (qs <= vals.max() + 1e-9).all()
+    assert np.all(np.diff(qs) >= -1e-9), "quantiles must be monotone"
+    assert abs(t.weights.sum() - vals.size) < 1e-9
+
+
+@settings(max_examples=40, deadline=None)
+@given(float_arrays, st.integers(2, 5))
+def test_kll_mass_preserved_under_merge_and_compact(vals, nsplit):
+    p = KLLParams(64)
+    parts = [KLL.from_values(p, c) for c in np.array_split(vals, nsplit)]
+    acc = parts[0]
+    for x in parts[1:]:
+        acc = acc.merge(x)
+    assert int(acc.weights.sum()) == vals.size
+    assert int(acc.compressed().weights.sum()) == vals.size
+    q = acc.quantile(0.5)
+    assert vals.min() - 1e-9 <= q <= vals.max() + 1e-9
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.integers(0, 50), min_size=1, max_size=500), st.integers(2, 16))
+def test_mg_bounds(xs, k):
+    keys = np.asarray(xs, dtype=np.int64)
+    mg = MisraGries.zero(MGParams(k)).add_batch(keys)
+    uniq, exact = np.unique(keys, return_counts=True)
+    est = mg.estimate(uniq)
+    assert (est <= exact).all()
+    assert (exact - est <= keys.size / (k + 1)).all()
