@@ -431,6 +431,19 @@ def q_ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("query_id", "vec_id", F.col("rank").cast("long").alias("rnk"))
 
 
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact verify path at this
+    scale; the LSH-bucketed candidate path is pinned by a
+    planted-duplicate unit test since this synthetic table's closest
+    pair is cos≈0.51)."""
+    from fuggetabouspark.dataops import embedding_near_dup
+
+    _ship(spark)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    return embedding_near_dup(emb, dim=dim, threshold=0.5, exact=True)
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fuggetabouspark.dataops import lsh_bucket_topk
 
@@ -488,6 +501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ann_topk_cosine": q_ann_topk_cosine,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "embedding_near_dup": q_embedding_near_dup,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -597,6 +611,11 @@ def oracle_sql() -> dict[str, str]:
                    len(list_distinct(list_concat(a.ws, b.ws))) AS uni
             FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
             WHERE len(list_intersect(a.ws, b.ws)) * 5 >= len(list_distinct(list_concat(a.ws, b.ws)))
+        """,
+        "embedding_near_dup": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.5
         """,
         "ann_topk_cosine": """
             WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 3)

@@ -18,7 +18,7 @@ from .dedup import (
     ngram_jaccard_pairs,
     simhash_buckets,
 )
-from .similarity import brute_force_topk, lsh_bucket_topk
+from .similarity import brute_force_topk, embedding_near_dup, lsh_bucket_topk
 
 __all__ = [
     "tokenize_words",
@@ -32,5 +32,6 @@ __all__ = [
     "simhash_buckets",
     "ngram_jaccard_pairs",
     "brute_force_topk",
+    "embedding_near_dup",
     "lsh_bucket_topk",
 ]

@@ -90,6 +90,40 @@ def hyperplane_buckets(
     return df.join(buckets, id_col), planes
 
 
+def embedding_near_dup(
+    df: DataFrame, dim: int, threshold: float = 0.95, bits: int = 6,
+    vec_col: str = "embedding", id_col: str = "vec_id", seed: int = 7,
+    exact: bool = False,
+) -> DataFrame:
+    """Near-duplicate vector pairs by cosine >= threshold.
+
+    Scale path (default): LSH-bucket the vectors (near-identical
+    vectors share all sign bits with high probability), generate
+    candidate pairs only within buckets — O(rows × bucket size), never
+    O(rows²) — then verify each candidate with the exact cosine.
+    ``exact=True`` switches to the all-pairs self-join for
+    small-scale oracle checks.
+    Returns (vec_a, vec_b) with vec_a < vec_b.
+    """
+    if exact:
+        side = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        a = side.select(F.col("_id").alias("_ida"), F.col("_v").alias("_va"))
+        b = side.select(F.col("_id").alias("_idb"), F.col("_v").alias("_vb"))
+        pairs = a.crossJoin(b).where(F.col("_ida") < F.col("_idb"))
+    else:
+        bucketed, _ = hyperplane_buckets(df, dim, bits, seed, vec_col, id_col)
+        a = bucketed.select(F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va"), "bucket")
+        b = bucketed.select(F.col(id_col).alias("_idb"), F.col(vec_col).alias("_vb"), "bucket")
+        pairs = a.join(b, "bucket").where(F.col("_ida") < F.col("_idb"))
+    cos = _dot(F.col("_va"), F.col("_vb")) / (_norm(F.col("_va")) * _norm(F.col("_vb")))
+    return (
+        pairs.select(F.col("_ida").alias("vec_a"), F.col("_idb").alias("vec_b"), cos.alias("cos"))
+        .where(F.col("cos") >= threshold)
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+
+
 def lsh_bucket_topk(
     df: DataFrame, queries_df, dim: int, k: int = 10, bits: int = 8,
     vec_col: str = "embedding", id_col: str = "vec_id", seed: int = 7,

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from fuggetabouspark.dataops import (
     brute_force_topk,
+    embedding_near_dup,
     exact_dedup,
     language_id,
     lsh_bucket_topk,
@@ -144,6 +145,42 @@ class TestSimilarity:
         exact_top = {(r.query_id, r.vec_id) for r in exact}
         approx_top = {(r.query_id, r.vec_id) for r in approx}
         assert exact_top == approx_top
+
+
+class TestEmbeddingNearDup:
+    def test_lsh_path_finds_planted_duplicate(self, spark, emb):
+        from pyspark.sql import Row
+
+        dim = len(emb.select("embedding").first()[0])
+        base = emb.first()
+        dup = [float(x) * 1.0001 for x in base["embedding"]]  # near-identical
+        aug = emb.unionAll(
+            spark.createDataFrame([Row(vec_id=999999, embedding=dup, label=0)])
+        )
+        pairs = {
+            (r.vec_a, r.vec_b)
+            for r in embedding_near_dup(aug, dim=dim, threshold=0.99, bits=6).collect()
+        }
+        assert (base["vec_id"], 999999) in pairs
+        # and nothing else sneaks in at 0.99 in this table
+        assert all(b == 999999 for _, b in pairs)
+
+    def test_exact_path_matches_duckdb(self, spark, emb):
+        dim = len(emb.select("embedding").first()[0])
+        got = {
+            (r.vec_a, r.vec_b)
+            for r in embedding_near_dup(emb, dim=dim, threshold=0.45, exact=True).collect()
+        }
+        want = {
+            tuple(r)
+            for r in duckdb.sql(
+                f"""SELECT a.vec_id, b.vec_id
+                    FROM '{SF}/embeddings.parquet' a JOIN '{SF}/embeddings.parquet' b
+                    ON a.vec_id < b.vec_id
+                    WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45"""
+            ).fetchall()
+        }
+        assert got == want
 
 
 class TestMultimodal:
