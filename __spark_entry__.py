@@ -431,6 +431,22 @@ def q_ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("query_id", "vec_id", F.col("rank").cast("long").alias("rnk"))
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat top-k at nprobe == n_lists (scores every list) —
+    mathematically identical to brute force, so the exact cosine
+    oracle applies; partial-probe recall is pinned in tests."""
+    from fuggetabouspark.dataops import ivf_topk
+
+    _ship(spark)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    qs = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    res = ivf_topk(emb, qs, dim=dim, k=10, n_lists=8, nprobe=8)
+    return res.select("query_id", "vec_id", F.col("rank").cast("long").alias("rnk"))
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (exact verify path at this
     scale; the LSH-bucketed candidate path is pinned by a
@@ -501,6 +517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ann_topk_cosine": q_ann_topk_cosine,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "multimodal_features": q_multimodal_features,
     }
@@ -616,6 +633,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.5
+        """,
+        "ann_ivf_topk": """
+            WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 3)
+            SELECT qid AS query_id, vec_id, rnk FROM (
+                SELECT q.qid, e.vec_id,
+                       row_number() OVER (PARTITION BY q.qid
+                           ORDER BY list_cosine_similarity(e.embedding, q.qv) DESC, e.vec_id) AS rnk
+                FROM embeddings e, q) t
+            WHERE rnk <= 10
         """,
         "ann_topk_cosine": """
             WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 3)

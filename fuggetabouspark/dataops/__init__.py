@@ -18,7 +18,7 @@ from .dedup import (
     ngram_jaccard_pairs,
     simhash_buckets,
 )
-from .similarity import brute_force_topk, embedding_near_dup, lsh_bucket_topk
+from .similarity import brute_force_topk, embedding_near_dup, ivf_topk, lsh_bucket_topk
 
 __all__ = [
     "tokenize_words",
@@ -34,4 +34,5 @@ __all__ = [
     "brute_force_topk",
     "embedding_near_dup",
     "lsh_bucket_topk",
+    "ivf_topk",
 ]

@@ -93,6 +93,42 @@ def build_resumable(
     return load_state(spark, checkpoint_dir)
 
 
+def compact_checkpoint(spark, checkpoint_dir: str, now: int, drop_groups_before: int | None = None):
+    """Decay-aware checkpoint GC: fold all shard rows per (spec, group),
+    apply decay(now) to every time-decaying sketch, drop expired HLL
+    ring buckets (group suffix '\\x1f<bucket>' older than
+    ``drop_groups_before``), and rewrite the state as one compacted
+    shard (-1). Safe to run any time: merges are idempotent-per-partial
+    and the rewrite replaces the directory atomically at the end.
+
+    This is the batch analogue of upstream's periodic IOLoop decay —
+    at 10^12 scale it also bounds checkpoint growth: state stays
+    O(groups × m) forever instead of O(shards × groups × m).
+    """
+    import shutil
+
+    from .pipeline import GROUP_SEP
+
+    state_path, lineage_path = _paths(checkpoint_dir)
+    sketches = load_state(spark, checkpoint_dir)
+    rows = []
+    for (spec, group), sk in sorted(sketches.items()):
+        if drop_groups_before is not None and GROUP_SEP in group:
+            try:
+                if int(group.rsplit(GROUP_SEP, 1)[1]) < drop_groups_before:
+                    continue
+            except ValueError:
+                pass
+        if hasattr(sk, "decay"):
+            sk.decay(now)
+        rows.append((spec, group, bytearray(sk.to_bytes()), sk.n_items, -1))
+    tmp = state_path + "_compacting"
+    spark.createDataFrame(rows, SHARD_DDL).coalesce(4).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(state_path)
+    shutil.move(tmp, state_path)
+    return load_state(spark, checkpoint_dir)
+
+
 def load_state(spark, checkpoint_dir: str):
     """Read checkpointed shard rows, dedupe retries, return
     {(spec, group): merged sketch}."""

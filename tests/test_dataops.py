@@ -147,6 +147,34 @@ class TestSimilarity:
         assert exact_top == approx_top
 
 
+class TestIVF:
+    def test_recall_curve_and_exact_at_full_probe(self, spark, emb):
+        from fuggetabouspark.dataops import ivf_topk
+
+        dim = len(emb.select("embedding").first()[0])
+        qs = emb.where(F.col("vec_id") < 4).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+        )
+        ex = {}
+        for r in brute_force_topk(emb, qs, k=5).collect():
+            ex.setdefault(r.query_id, set()).add(r.vec_id)
+
+        def recall(nprobe):
+            ap = {}
+            for r in ivf_topk(emb, qs, dim=dim, k=5, n_lists=8, nprobe=nprobe).collect():
+                ap.setdefault(r.query_id, set()).add(r.vec_id)
+            return sum(len(ex[q] & ap.get(q, set())) for q in ex) / sum(len(s) for s in ex.values())
+
+        r2, r8 = recall(2), recall(8)
+        assert r8 == 1.0, "nprobe == n_lists must equal brute force"
+        assert r2 <= r8
+        # the query's own vector always lands in a probed list
+        ap2 = {}
+        for r in ivf_topk(emb, qs, dim=dim, k=5, n_lists=8, nprobe=1).collect():
+            ap2.setdefault(r.query_id, set()).add(r.vec_id)
+        assert all(q in ap2[q] for q in ap2)
+
+
 class TestEmbeddingNearDup:
     def test_lsh_path_finds_planted_duplicate(self, spark, emb):
         from pyspark.sql import Row

@@ -265,6 +265,29 @@ class TestSemantics:
 
 
 class TestResume:
+    def test_compact_checkpoint(self, spark, tmp_path):
+        """Compaction folds shards into one, answers unchanged for
+        in-window keys, expired ticks zeroed, shard count -> 1."""
+        from fuggetabouspark.state import compact_checkpoint
+
+        specs = [SketchSpec("tbf", "tbf", TimingParams(40_000, 0.005, window_ticks=200), "tokens")]
+        df = spark_corpus(spark, "xs", partitions=4)
+        ck = str(tmp_path / "ck")
+        before = build_resumable(spark, df, specs, ck, n_shards=3, tick_col=_tick_col(), partitions=4)
+        n_files_before = spark.read.parquet(f"{ck}/sketch_state").select("shard").distinct().count()
+        now = 1001
+        probes = np.unique(
+            np.concatenate(local_corpus("xs").query("source=='web'").tokens.values)
+        )[:500].astype(np.int64)
+        ans_before = before[("tbf", "web")].contains_batch(probes, now)
+        after = compact_checkpoint(spark, ck, now=now)
+        assert spark.read.parquet(f"{ck}/sketch_state").select("shard").distinct().count() == 1
+        assert np.array_equal(after[("tbf", "web")].contains_batch(probes, now), ans_before)
+        assert n_files_before == 3
+        # compaction is idempotent
+        again = compact_checkpoint(spark, ck, now=now)
+        assert again[("tbf", "web")].to_bytes() == after[("tbf", "web")].to_bytes()
+
     def test_resume_equals_uninterrupted(self, spark, tmp_path):
         specs = [
             SketchSpec("tbf", "tbf", TimingParams(40_000, 0.005, window_ticks=WINDOW), "tokens"),
