@@ -27,7 +27,7 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 CACHE = os.path.join(REPO, ".bench_cache")
-BENCH_SCALE = os.environ.get("SPARK_GRAFT_BENCH_SCALE", "m")
+BENCH_SCALE = os.environ.get("SPARK_GRAFT_BENCH_SCALE", "l")
 
 
 def _specs():
