@@ -253,6 +253,59 @@ class TestSemantics:
         assert (est >= exact).all()
         assert ((est - exact) <= 0.001 * all_tokens.size + 1).all()
 
+    def test_decayed_cardinality_vs_exact(self, spark, corpus_pdf):
+        """HLL tick-bucket ring: windowed distinct estimate within the
+        published rel. error of the EXACT windowed distinct count."""
+        from pyspark.sql import functions as F
+
+        from fuggetabouspark import queries as Q
+
+        dpt = docs_per_tick(ROWS)
+        bucket_ticks = 100
+        corpus = spark_corpus(spark, "xs", partitions=4).withColumn(
+            "tick", _tick_col()
+        ).withColumn("bucket", (F.col("tick") / bucket_ticks).cast("long"))
+        rows = build_sketches(
+            corpus,
+            [SketchSpec("h", "hll", HLLParams(p=14), "tokens")],
+            group_cols=("source", "bucket"),
+            tick_col=F.col("tick"),
+            partitions=4,
+        ).collect()
+        sks = merge_rows_to_sketches(rows)
+        now, window = 1000, 500
+        est = Q.decayed_cardinality(sks, "h", now=now, window=window, bucket_ticks=bucket_ticks)
+        # exact windowed distinct from the local corpus
+        idx = corpus_pdf.doc_id.str.extract(r"(\d+)$")[0].astype(int)
+        tick = idx // dpt + 1
+        lo = (now - window) // bucket_ticks * bucket_ticks  # bucket-aligned window start
+        in_win = (tick >= lo) & (tick <= now)
+        for g in ("web", "books"):
+            sel = corpus_pdf[(corpus_pdf.source == g) & in_win.values]
+            exact = len(np.unique(np.concatenate(sel.tokens.values)))
+            rel = abs(est[g] - exact) / exact
+            assert rel < 4 * 1.04 / np.sqrt(2**14), f"{g}: windowed HLL rel err {rel}"
+
+    def test_empty_and_null_inputs(self, spark):
+        """Empty corpus → lineage-only output; null/empty token arrays
+        contribute nothing but don't crash the Arrow path."""
+        from pyspark.sql import Row
+
+        empty = spark.createDataFrame([], "doc_id string, tokens array<int>, n_tok int, source string")
+        rows = build_sketches(empty, [SketchSpec("h", "hll", HLLParams(p=10), "tokens")], partitions=2).collect()
+        assert all(r["spec"] == "_lineage" for r in rows)
+        df = spark.createDataFrame(
+            [
+                Row(doc_id="a", tokens=[1, 2, 3], n_tok=3, source="s"),
+                Row(doc_id="b", tokens=[], n_tok=0, source="s"),
+                Row(doc_id="c", tokens=None, n_tok=None, source="s"),
+            ]
+        )
+        sks = merge_rows_to_sketches(
+            build_sketches(df, [SketchSpec("t", "tbf", TimingParams(1000, 0.01), "tokens")], partitions=2).collect()
+        )
+        assert sks[("t", "s")].n_items == 3
+
     def test_quantiles_vs_exact(self, built, corpus_pdf):
         sks = merge_rows_to_sketches(built)
         n_tok = corpus_pdf[corpus_pdf.source == "web"].n_tok.to_numpy()
