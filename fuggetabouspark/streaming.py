@@ -102,6 +102,113 @@ class StreamingSketchBuilder:
         )
 
 
+STATEFUL_OUTPUT_DDL = "source string, spec string, payload binary, n_items long"
+STATEFUL_STATE_DDL = "blobs array<binary>, n_items long"
+
+
+def stateful_stream_build(
+    spark,
+    specs: list[SketchSpec],
+    input_path: str,
+    schema,
+    checkpoint_dir: str,
+    trigger_seconds: int = 2,
+    queryable_sink: str | None = None,
+):
+    """Per-source sketch state as a true Structured Streaming stateful
+    operator: ``groupBy(source).applyInPandasWithState`` keeps each
+    group's serialized sketches in Spark-managed state (checkpointed,
+    fault-tolerant, co-located with the group), and every trigger emits
+    an updated snapshot row per touched (source, spec).
+
+    This is the applyInPandasWithState pattern the survey deferred
+    (SURVEY.md §2.1): unlike the foreachBatch fold (which re-reads and
+    rewrites the whole state table per trigger), state here lives
+    inside the streaming engine, so 10^6 groups would scale exactly
+    like any streaming aggregation — partitioned state, no
+    driver-side fold.
+
+    Returns the StreamingQuery; snapshots go to ``queryable_sink``
+    (memory table name) when given, else to parquet under
+    checkpoint_dir/snapshots.
+    """
+    import pandas as pd
+
+    spec_list = list(specs)
+
+    def update(key, pdf_iter, state):
+        source = key[0]
+        if state.exists:
+            blobs, n_items = state.get
+            sketches = [sketch_from_bytes(bytes(b)) for b in blobs]
+        else:
+            sketches = [s.zero() for s in spec_list]
+            n_items = 0
+        import numpy as np
+
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            counts = pdf["tokens"].map(len).to_numpy()
+            flat = (
+                np.concatenate([np.asarray(t, dtype=np.int64) for t in pdf["tokens"]])
+                if counts.sum()
+                else np.zeros(0, dtype=np.int64)
+            )
+            ticks = (
+                pdf["tick"].to_numpy().astype("int64")
+                if "tick" in pdf.columns
+                else np.ones(len(pdf), dtype=np.int64)
+            )
+            tok_ticks = np.repeat(ticks, counts)
+            n_items += len(pdf)
+            for spec, sk in zip(spec_list, sketches):
+                if spec.value == "tokens":
+                    if spec.kind in ("tbf", "stbf"):
+                        sk.add_batch(flat, tok_ticks)
+                    else:
+                        sk.add_batch(flat)
+                elif spec.value == "n_tok":
+                    sk.add_batch(pdf["n_tok"].to_numpy().astype("float64"))
+        state.update(([bytearray(sk.to_bytes()) for sk in sketches], n_items))
+        yield pd.DataFrame(
+            {
+                "source": [source] * len(spec_list),
+                "spec": [s.name for s in spec_list],
+                "payload": [bytearray(sk.to_bytes()) for sk in sketches],
+                "n_items": [sk.n_items for sk in sketches],
+            }
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 16)
+        .parquet(input_path)
+    )
+    # file sinks only accept append mode (each trigger appends a
+    # snapshot row; readers take the latest per group); the memory
+    # sink uses update mode but cannot recover from a checkpoint —
+    # both observed live, hence the split
+    mode = "update" if queryable_sink else "append"
+    out = stream.groupBy("source").applyInPandasWithState(
+        update,
+        outputStructType=STATEFUL_OUTPUT_DDL,
+        stateStructType=STATEFUL_STATE_DDL,
+        outputMode=mode,
+        timeoutConf="NoTimeout",
+    )
+    writer = (
+        out.writeStream.outputMode(mode)
+        .option("checkpointLocation", os.path.join(checkpoint_dir, "_ss_state_ckpt"))
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+    )
+    if queryable_sink:
+        return writer.format("memory").queryName(queryable_sink).start()
+    return writer.format("parquet").option(
+        "path", os.path.join(checkpoint_dir, "snapshots")
+    ).start()
+
+
 def _max_tick(sk: Sketch) -> int:
     import numpy as np
 
