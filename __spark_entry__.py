@@ -240,10 +240,12 @@ def q_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fuggetabouspark.params import TDigestParams
     from fuggetabouspark.pipeline import SketchSpec
 
+    import numpy as np
+
     _, sks = _build(spark, sf_dir, [SketchSpec("t", "tdigest", TDigestParams(200.0), "n_tok")])
+    qs = np.array([0.25, 0.5, 0.75])
     out = [
-        (g, float(sk.compressed().quantile(0.25)), float(sk.compressed().quantile(0.5)),
-         float(sk.compressed().quantile(0.75)))
+        (g, *[float(x) for x in sk.compressed().quantiles(qs)])
         for (_, g), sk in sorted(sks.items())
     ]
     return spark.createDataFrame(out, "source string, p25 double, p50 double, p75 double")

@@ -76,7 +76,7 @@ def minhash_signatures(
             sigs = np.empty((len(counts), num_hashes), dtype=np.int64)
             pos = 0
             for i, c in enumerate(counts):  # per-doc loop, numpy inside
-                sh = _word_shingles(flat[pos : pos + c], 3)
+                sh = _word_shingles(flat[pos : pos + c], shingle)
                 pos += c
                 if sh.size == 0:
                     sigs[i] = np.iinfo(np.int64).max
@@ -101,7 +101,25 @@ def minhash_lsh_candidates(
     """Band the signatures and self-join on (band, bucket): candidate
     near-dup pairs. Jaccard threshold ≈ (1/bands)^(1/rows_per_band).
     The join key is a hash of each band slice, so the shuffle carries
-    (doc_id, band, bucket) — O(docs × bands), never O(docs²)."""
+    (doc_id, band, bucket) — O(docs × bands), never O(docs²).
+
+    Fails fast when bands × rows_per_band exceeds the signature length:
+    out-of-range slices would silently hash every doc into the same
+    bucket for the overflow bands (an accidental all-pairs join)."""
+    from pyspark.sql import functions as _F
+
+    sig_df = sig_df.withColumn(
+        "sig",
+        _F.when(
+            _F.size("sig") >= bands * rows_per_band, _F.col("sig")
+        ).otherwise(
+            _F.raise_error(
+                _F.lit(
+                    f"minhash signature shorter than bands*rows_per_band = {bands * rows_per_band}"
+                )
+            )
+        ),
+    )
     b = []
     for band in range(bands):
         lo = band * rows_per_band

@@ -56,17 +56,23 @@ def hash64(keys: np.ndarray, seed: int = 0) -> np.ndarray:
 def hash64_strings(keys, seed: int = 0) -> np.ndarray:
     """Seeded 64-bit hash of a string sequence → uint64 array.
 
-    Uses a vectorized FNV-1a over the UTF-8 bytes via numpy void views.
-    Strings are only hashed on the doc_id path (per-batch, not per
+    Vectorized FNV-1a over UTF-8 bytes, column-at-a-time with a
+    per-string length mask so each string's hash is a pure function of
+    THAT string (padding columns beyond a string's own length leave its
+    accumulator untouched, and its own length is mixed in at the end).
+    Without the mask, the hash would depend on the longest string in
+    the batch — the same doc_id would hash differently on different
+    partitions, silently breaking doc-keyed membership answers.
+    Strings are only hashed on the doc_id path (per-row, not per
     token), so this is off the hot path; still vectorized per batch.
     """
     import pandas as pd
 
     s = pd.Series(keys, dtype="object")
-    # pandas str→bytes then python-level fnv per element would be slow;
-    # instead pack into a fixed-width byte matrix and fold columns.
     b = s.astype(str).str.encode("utf-8")
-    maxlen = int(b.str.len().max() or 1)
+    lens = b.str.len().to_numpy().astype(np.int64)
+    maxlen = int(lens.max()) if len(b) else 1
+    maxlen = max(maxlen, 1)
     mat = np.zeros((len(b), maxlen), dtype=np.uint8)
     for i, bs in enumerate(b.values):  # bounded by batch size, cheap vs tokens
         mat[i, : len(bs)] = np.frombuffer(bs, dtype=np.uint8)
@@ -74,9 +80,10 @@ def hash64_strings(keys, seed: int = 0) -> np.ndarray:
         h = np.full(len(b), _U64(0xCBF29CE484222325) ^ _U64(seed * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF), _U64)
         prime = _U64(0x100000001B3)
         for j in range(maxlen):
-            h ^= mat[:, j].astype(_U64)
-            h *= prime
-        h ^= _U64(maxlen)
+            live = lens > j
+            step = (h ^ mat[:, j].astype(_U64)) * prime
+            h = np.where(live, step, h)
+        h ^= lens.astype(_U64)  # per-string length, not batch maxlen
     return splitmix64(h)
 
 

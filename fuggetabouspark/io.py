@@ -25,19 +25,26 @@ CORPUS_SCHEMA = T.StructType(
 )
 
 
-def read_corpus(spark: SparkSession, source: str, strict: bool = True) -> DataFrame:
+def read_corpus(
+    spark: SparkSession, source: str, strict: bool = True,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """Read the tokenized corpus.
 
     ``source`` is an Iceberg table name (contains no '/') read through
     the session catalog, or a parquet directory path. Column pruning
     and partition pruning stay with Catalyst — callers filter/select
     on the returned DataFrame and the scan narrows accordingly.
+    ``extra_cols`` keeps additional columns (e.g. an event-time column
+    that build_sketches' tick_col will reference) alongside the four
+    input_hint columns.
     """
     if "/" not in source:
         df = spark.read.table(source)
     else:
         df = spark.read.parquet(source)
     missing = [f.name for f in CORPUS_SCHEMA.fields if f.name not in df.columns]
+    missing += [c for c in extra_cols if c not in df.columns]
     if missing:
         raise ValueError(f"corpus at {source!r} is missing columns {missing}")
     if strict:
@@ -48,7 +55,7 @@ def read_corpus(spark: SparkSession, source: str, strict: bool = True) -> DataFr
                     f"corpus column {f.name!r} has type {got[f.name].simpleString()}, "
                     f"expected {f.dataType.simpleString()} (input_hint, BASELINE.json:15)"
                 )
-    return df.select("doc_id", "tokens", "n_tok", "source")
+    return df.select("doc_id", "tokens", "n_tok", "source", *extra_cols)
 
 
 def validate_corpus(df: DataFrame) -> dict:

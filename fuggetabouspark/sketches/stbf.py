@@ -94,12 +94,19 @@ class ScalingTimingBloomFilter(Sketch):
             # (10^12 tokens over a small vocab) advances in O(log)
             # chunks instead of one fill-check per `budget` tokens
             if d_prev is not None and d_est > d_prev + 1:
-                dup_ratio = max(dup_ratio, chunk_len / (d_est - d_prev))
+                dup_ratio = chunk_len / (d_est - d_prev)  # adapt, don't latch
             elif d_prev is not None:
                 dup_ratio *= 2.0  # fill stalled: pure duplicates, ramp up
             d_prev = d_est
             floor = min(256, tail.params.capacity // 10) or 1
-            chunk_len = max(floor, int(budget * min(dup_ratio, 1e6)))
+            # hard safety cap: even if EVERY token in the chunk were a
+            # new distinct key, this tier's fill stays <= ~0.6 (FPR
+            # ~0.6^k, a bounded excursion the next fill check corrects
+            # by growing a tier) — without it, a duplicate-heavy
+            # stretch ramps dup_ratio and a following burst of novel
+            # keys could blow the tier's FPR in one oversized chunk
+            worst_case_cap = int((tail.m / tail.k) * math.log(max(1e-12, 1.0 - fill) / 0.4))
+            chunk_len = max(floor, min(int(budget * min(dup_ratio, 1e6)), max(budget, worst_case_cap)))
             chunk = slice(pos, pos + chunk_len)
             tail.add_batch(
                 keys[chunk],

@@ -76,8 +76,9 @@ def build_resumable(
             sub, specs, group_cols=group_cols, tick_col=tick_col,
             partitions=partitions, salt_mod=salt_mod,
             # an STBF tier's union spans every shard's partials, so a
-            # caller-requested fanin is multiplied by the shard count
-            stbf_fanin=(stbf_fanin * n_shards) if stbf_fanin else None,
+            # caller-requested split is multiplied by the shard count;
+            # fanin<=1 means "no split" and must stay that way
+            stbf_fanin=(stbf_fanin * n_shards) if stbf_fanin and stbf_fanin > 1 else None,
         ).withColumn("shard", F.lit(shard))
         # sketch rows first, lineage row last: a shard is only
         # "completed" once its state is durable
@@ -104,6 +105,12 @@ def compact_checkpoint(spark, checkpoint_dir: str, now: int, drop_groups_before:
     This is the batch analogue of upstream's periodic IOLoop decay —
     at 10^12 scale it also bounds checkpoint growth: state stays
     O(groups × m) forever instead of O(shards × groups × m).
+
+    Crash-safety: the rewrite renames the old state aside before
+    moving the new state in, and load_state falls back to the aside
+    copy if a crash struck between the two renames. NOTE this uses
+    driver-local filesystem renames — on an object store deployment
+    replace with a manifest swap (Iceberg snapshot commit).
     """
     import shutil
 
@@ -123,9 +130,12 @@ def compact_checkpoint(spark, checkpoint_dir: str, now: int, drop_groups_before:
             sk.decay(now)
         rows.append((spec, group, bytearray(sk.to_bytes()), sk.n_items, -1))
     tmp = state_path + "_compacting"
+    old = state_path + "_old"
     spark.createDataFrame(rows, SHARD_DDL).coalesce(4).write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(state_path)
+    shutil.rmtree(old, ignore_errors=True)
+    shutil.move(state_path, old)      # crash here → load_state falls back to _old
     shutil.move(tmp, state_path)
+    shutil.rmtree(old, ignore_errors=True)
     return load_state(spark, checkpoint_dir)
 
 
@@ -135,7 +145,11 @@ def load_state(spark, checkpoint_dir: str):
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
+    import os
+
     state_path, _ = _paths(checkpoint_dir)
+    if not os.path.exists(state_path) and os.path.exists(state_path + "_old"):
+        state_path = state_path + "_old"  # compaction crashed mid-swap
     df = spark.read.parquet(state_path)
     # dedupe half-written retries: keep one row per (spec, group, shard)
     w = Window.partitionBy("spec", "group", "shard").orderBy(F.col("n_items").desc())

@@ -44,26 +44,54 @@ class StreamingSketchBuilder:
         self.partitions = partitions
         self.decay = decay
 
-    def _state_path(self) -> str:
-        return os.path.join(self.state_dir, "current")
+    def _versions_dir(self) -> str:
+        return os.path.join(self.state_dir, "versions")
 
-    def load_state(self) -> dict[tuple[str, str], Sketch]:
+    def _epochs_on_disk(self) -> list[int]:
         try:
-            rows = self.spark.read.parquet(self._state_path()).collect()
-        except Exception:
-            return {}
+            names = os.listdir(self._versions_dir())
+        except FileNotFoundError:
+            return []
+        out = []
+        for n in names:
+            if n.startswith("epoch="):
+                try:
+                    out.append(int(n.split("=", 1)[1]))
+                except ValueError:
+                    pass
+        return sorted(out)
+
+    def _load_version(self, epoch: int) -> dict[tuple[str, str], Sketch]:
+        rows = self.spark.read.parquet(
+            os.path.join(self._versions_dir(), f"epoch={epoch}")
+        ).collect()
         return merge_rows_to_sketches(rows)
 
+    def load_state(self) -> dict[tuple[str, str], Sketch]:
+        # newest READABLE version: the newest directory may be mid-write
+        # when polled concurrently with a trigger
+        for epoch in reversed(self._epochs_on_disk()):
+            try:
+                return self._load_version(epoch)
+            except Exception:
+                continue
+        return {}
+
     def process_batch(self, batch_df, epoch_id: int) -> None:
+        """Exactly-once under foreachBatch's at-least-once contract:
+        state for epoch N is written to versions/epoch=N, derived ONLY
+        from versions with epoch < N plus this batch's rows. A replayed
+        epoch recomputes from the same predecessor and overwrites its
+        own version with identical content — never double-counts."""
         if batch_df.rdd.isEmpty():
             return
         new_rows = build_sketches(
             batch_df, self.specs, group_cols=self.group_cols,
             tick_col=self.tick_col, partitions=self.partitions,
         ).collect()
-        state = self.load_state()
+        prior = [e for e in self._epochs_on_disk() if e < epoch_id]
+        state = self._load_version(prior[-1]) if prior else {}
         incoming = merge_rows_to_sketches(new_rows)
-        max_tick = 0
         for key, sk in incoming.items():
             state[key] = state[key].merge(sk) if key in state else sk
         if self.decay:
@@ -71,8 +99,7 @@ class StreamingSketchBuilder:
                 if hasattr(sk, "decay"):
                     w = getattr(sk.params, "window_ticks", None)
                     if w:
-                        now = _max_tick(sk)
-                        sk.decay(now)
+                        sk.decay(_max_tick(sk))
         out = [
             (spec, group, bytearray(sk.to_bytes()), sk.n_items)
             for (spec, group), sk in sorted(state.items())
@@ -83,8 +110,13 @@ class StreamingSketchBuilder:
             )
             .coalesce(1)
             .write.mode("overwrite")
-            .parquet(self._state_path())
+            .parquet(os.path.join(self._versions_dir(), f"epoch={epoch_id}"))
         )
+        # GC: keep the last two versions (current + predecessor)
+        import shutil
+
+        for e in self._epochs_on_disk()[:-2]:
+            shutil.rmtree(os.path.join(self._versions_dir(), f"epoch={e}"), ignore_errors=True)
 
     def start(self, input_path: str, schema, trigger_seconds: int = 2):
         """File-source stream over ``input_path``; new parquet files are
@@ -170,6 +202,10 @@ def stateful_stream_build(
                         sk.add_batch(flat)
                 elif spec.value == "n_tok":
                     sk.add_batch(pdf["n_tok"].to_numpy().astype("float64"))
+                else:
+                    raise ValueError(
+                        f"stateful_stream_build supports value streams 'tokens'/'n_tok', got {spec.value!r}"
+                    )
         state.update(([bytearray(sk.to_bytes()) for sk in sketches], n_items))
         yield pd.DataFrame(
             {
