@@ -94,16 +94,18 @@ def seen_within_distributed(spark, state_df, spec_name, probes_df, now, key_col=
     return probes_df.mapInArrow(probe, schema=SEEN_DDL)
 
 
-def decayed_cardinality(
+def windowed_merge(
     sketches: dict[tuple[str, str], Sketch],
     spec_name: str,
     now: int,
     window: int,
     bucket_ticks: int,
-):
-    """Distinct keys seen in (now-window, now]: union the per
-    (group, tick-bucket) HLL ring buckets that overlap the window,
-    then estimate (SURVEY.md §2.4). Group key layout: 'source\\x1fbucket'."""
+) -> dict[str, Sketch]:
+    """Merge the per (group, tick-bucket) ring buckets overlapping
+    (now-window, now] into one sketch per group. Works for ANY sketch
+    kind built with group_cols=(key, bucket) — HLL gives windowed
+    distinct counts, t-digest/KLL windowed quantiles, CMS/MG windowed
+    frequencies. Group key layout: 'source\\x1fbucket'."""
     from .pipeline import GROUP_SEP
 
     lo = (now - window) // bucket_ticks  # first bucket overlapping window
@@ -118,7 +120,47 @@ def decayed_cardinality(
         b = int(bucket)
         if lo <= b <= hi:
             acc[src] = acc[src].merge(sk) if src in acc else sk
-    return {src: sk.estimate() for src, sk in sorted(acc.items())}
+    return dict(sorted(acc.items()))
+
+
+def decayed_cardinality(
+    sketches: dict[tuple[str, str], Sketch],
+    spec_name: str,
+    now: int,
+    window: int,
+    bucket_ticks: int,
+):
+    """Distinct keys seen in (now-window, now] per group: windowed
+    union of the HLL ring, then estimate (SURVEY.md §2.4)."""
+    return {
+        src: sk.estimate()
+        for src, sk in windowed_merge(sketches, spec_name, now, window, bucket_ticks).items()
+    }
+
+
+def last_seen(
+    sketches: dict[tuple[str, str], Sketch],
+    spec_name: str,
+    probes: np.ndarray,
+    groups: list[str] | None = None,
+) -> dict[str, np.ndarray]:
+    """Estimated last-sighting tick per probe key, per group (0 =
+    never seen; upper-bound estimator, see TBF.last_seen_batch)."""
+    probes = np.asarray(probes, dtype=np.int64)
+    return {
+        group: sk.last_seen_batch(probes)
+        for (sname, group), sk in sorted(sketches.items())
+        if sname == spec_name and (groups is None or group in groups)
+    }
+
+
+def hll_intersection(sk_a: Sketch, sk_b: Sketch) -> float:
+    """Inclusion–exclusion estimate of |A ∩ B| from two HLLs:
+    |A| + |B| − |A ∪ B| (union = register max, exact for HLL). Error
+    grows with the symmetric difference — standard caveat for
+    inclusion–exclusion on sketches; fine for overlap ratios of
+    similarly-sized sets (e.g. shared vocabulary between sources)."""
+    return sk_a.estimate() + sk_b.estimate() - sk_a.merge(sk_b).estimate()
 
 
 def multiplicity(sketches, spec_name: str, keys: np.ndarray) -> dict[str, np.ndarray]:

@@ -101,6 +101,21 @@ class TimingBloomFilter(Sketch):
         oldest = got.min(axis=1)
         return oldest >= max(cutoff, 1)
 
+    def last_seen_batch(self, keys: np.ndarray) -> np.ndarray:
+        """Estimated last-sighting tick per key (0 = never seen).
+
+        Each of a key's k buckets holds max(that bucket's writers), so
+        every bucket value >= the key's true last tick; the min over
+        its k buckets is an upper-bound estimate that equals the true
+        tick unless ALL k buckets were later overwritten by other keys
+        (probability ~ the filter's FPR). Answers 'WHEN was X last
+        seen', a strictly stronger query than seen_within."""
+        keys = np.asarray(keys)
+        if keys.size == 0:
+            return np.zeros(0, dtype=np.int64)
+        got = self.ticks[bloom_indexes(keys, self.k, self.m)]
+        return got.min(axis=1).astype(np.int64)
+
     def decay(self, now: int) -> "TimingBloomFilter":
         """Zero buckets outside the window — pure, idempotent."""
         cutoff = now - self.window + 1
