@@ -251,6 +251,33 @@ def q_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(out, "source string, p25 double, p50 double, p75 double")
 
 
+def q_kll_windowed_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed quantiles from a per (source, tick-bucket) KLL ring
+    (queries.windowed_merge) — words-per-doc quartiles over only the
+    last-WINDOW ticks. Rows-only (approximate), exactness pinned in
+    tests/test_query_verbs.py."""
+    from fuggetabouspark import queries as Q
+    from fuggetabouspark.params import KLLParams
+    from fuggetabouspark.pipeline import SketchSpec, build_sketches, merge_rows_to_sketches
+
+    corpus = _corpus(spark, sf_dir).withColumn("bucket", (F.col("tick") / 10).cast("long"))
+    rows = build_sketches(
+        corpus,
+        [SketchSpec("kw", "kll", KLLParams(200), "n_tok")],
+        group_cols=("source", "bucket"),
+        tick_col=F.col("tick"),
+        partitions=8,
+        salt_mod=2,
+    ).collect()
+    sks = merge_rows_to_sketches(rows)
+    merged = Q.windowed_merge(sks, "kw", now=NOW, window=WINDOW, bucket_ticks=10)
+    import numpy as np
+
+    qs = np.array([0.25, 0.5, 0.75])
+    out = [(g, *[float(x) for x in sk.quantiles(qs)]) for g, sk in merged.items()]
+    return spark.createDataFrame(out, "source string, p25 double, p50 double, p75 double")
+
+
 def q_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fuggetabouspark.params import KLLParams
     from fuggetabouspark.pipeline import SketchSpec
@@ -504,6 +531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_docs_per_source": q_top_docs_per_source,
         "tdigest_quantiles": q_tdigest_quantiles,
         "kll_quantiles": q_kll_quantiles,
+        "kll_windowed_quantiles": q_kll_windowed_quantiles,
         "lineage_digest": q_lineage_digest,
         "distinct_words_per_source": q_distinct_words_per_source,
         "ntok_percentiles": q_ntok_percentiles,

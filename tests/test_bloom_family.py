@@ -162,6 +162,22 @@ class TestSTBF:
         assert m.contains_batch(xs, now=3).all()
         assert m.merge(m).tiers and a.merge(b).to_bytes() == b.merge(a).to_bytes()
 
+    def test_effective_error_calibrates_measured_fpr(self, rng):
+        """effective_error() must upper-bound the measured FPR across
+        fill levels — it is the honest diagnostic for merged/overfilled
+        sketches, so its calibration is itself a gate."""
+        absent = (np.arange(100_000) + 10**9).astype(np.int64)
+        for n_ins in (500, 2_000, 8_000, 30_000):
+            p = ScalingParams(capacity=1000, error=0.01)
+            f = ScalingTimingBloomFilter.zero(p)
+            keys = rng.choice(10**8, size=n_ins, replace=False).astype(np.int64)
+            f.add_batch(keys, 1)
+            measured = f.contains_batch(absent, now=1).mean()
+            bound = f.effective_error(now=1)
+            assert measured <= bound * 1.3 + 1e-4, (
+                f"n={n_ins}: measured FPR {measured} exceeds effective_error {bound}"
+            )
+
     def test_roundtrip(self, rng):
         p = ScalingParams(capacity=500, error=0.01, window_ticks=7)
         xs = rng.choice(10**8, size=2000, replace=False).astype(np.int64)
