@@ -92,8 +92,6 @@ def build_job(spark, corpus_path: str, rows: int, partitions: int, salt_mod: int
 
 
 def run_headline(cpus: int, sf_dir: str) -> dict:
-    import numpy as np
-
     from fuggetabouspark.pipeline import merge_rows_to_sketches
     from fuggetabouspark.session import get_spark
 

@@ -26,13 +26,13 @@ rows or tokens (BASELINE.json:6 "explode-free flat_map over tokens").
 from __future__ import annotations
 
 import json
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Iterable
 
 import numpy as np
 
 from .hashing import hash64_strings, splitmix64
-from .params import params_from_json, params_to_json
+from .params import params_to_json
 from .sketches import REGISTRY, Sketch, sketch_from_bytes
 
 PARTIAL_DDL = (

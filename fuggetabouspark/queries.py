@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import numpy as np
 
-from .pipeline import SketchSpec, build_sketches, merge_rows_to_sketches
 from .sketches import Sketch, sketch_from_bytes
 
 SEEN_DDL = "group string, key long, seen boolean"

@@ -23,10 +23,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import SparkSession
-from pyspark.sql import functions as F
-
-from .pipeline import LINEAGE_SPEC, SketchSpec, build_sketches, merge_rows_to_sketches
+from .pipeline import SketchSpec, build_sketches, merge_rows_to_sketches
 from .sketches import Sketch, sketch_from_bytes
 
 
