@@ -100,16 +100,22 @@ def hash_pair(keys: np.ndarray, seed: int = 0) -> tuple[np.ndarray, np.ndarray]:
 def indexes_from_pair(h1: np.ndarray, h2: np.ndarray, k: int, m: int) -> np.ndarray:
     """(n,) hash pair → (n, k) bucket indexes in [0, m).
 
-    Double hashing [P:Kirsch–Mitzenmacher 2006] with Lemire multiply-
-    shift range reduction instead of `% m` (~3× faster than uint64
-    modulo in numpy) and a zero-copy int64 view (m < 2^31 so the top
-    bit is never set).
+    Double hashing [P:Kirsch–Mitzenmacher 2006]. For m < 2^31 the range
+    reduction is Lemire multiply-shift on the high 32 hash bits (~3×
+    faster than uint64 modulo in numpy; the int64 view is zero-copy
+    because the top bit is never set). For larger m — giant single
+    filters, e.g. doc-dedup at 10^9+ capacity — `(x >> 32) * m` would
+    overflow uint64 and silently bias every index into [0, 2^32), so
+    the exact `% m` path is used instead. Branch choice is a pure
+    function of m, so results stay deterministic across machines.
     """
     j = np.arange(k, dtype=_U64)
     with np.errstate(over="ignore"):
         x = h1[:, None] + j[None, :] * h2[:, None]
-        idx = ((x >> _U64(32)) * _U64(m)) >> _U64(32)
-    return idx.view(np.int64)
+        if m < (1 << 31):
+            idx = ((x >> _U64(32)) * _U64(m)) >> _U64(32)
+            return idx.view(np.int64)
+        return (x % _U64(m)).astype(np.int64)
 
 
 def bloom_indexes(keys: np.ndarray, k: int, m: int, seed: int = 0) -> np.ndarray:

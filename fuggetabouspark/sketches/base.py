@@ -101,6 +101,19 @@ def unpack(buf: bytes) -> tuple[str, str, int, list[np.ndarray]]:
     return name, params_json, int(n_items), arrays
 
 
+def weighted_quantiles(values: np.ndarray, weights: np.ndarray, qs) -> np.ndarray:
+    """Quantiles of a weighted, ASCENDING-sorted sample via the
+    standard cumulative-midpoint interpolation (shared by TDigest and
+    KLL — both keep their samples canonically sorted)."""
+    if values.size == 0:
+        return np.full(np.asarray(qs).shape, np.nan)
+    w = weights.astype(np.float64, copy=False)
+    cum = np.cumsum(w) - w / 2.0
+    total = float(w.sum())
+    targets = np.clip(np.asarray(qs, dtype=np.float64), 0.0, 1.0) * total
+    return np.interp(targets, cum, values, left=values[0], right=values[-1])
+
+
 class Sketch:
     """Minimal shared surface; concrete sketches define NAME and the
     zero/update/merge/to_bytes/from_bytes quintet."""

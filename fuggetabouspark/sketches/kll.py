@@ -131,15 +131,11 @@ class KLL(Sketch):
 
     # ---- query ----
     def quantiles(self, qs: np.ndarray) -> np.ndarray:
-        if self.values.size == 0:
-            return np.full(np.asarray(qs).shape, np.nan)
-        order = np.argsort(self.values, kind="stable")
-        v = self.values[order]
-        w = self.weights[order].astype(np.float64)
-        cum = np.cumsum(w) - w / 2.0
-        total = float(w.sum())
-        targets = np.clip(np.asarray(qs, dtype=np.float64), 0.0, 1.0) * total
-        return np.interp(targets, cum, v, left=v[0], right=v[-1])
+        # values are canonically value-sorted (merge/_levels_to_samples
+        # both lexsort with value primary) — no re-sort needed
+        from .base import weighted_quantiles
+
+        return weighted_quantiles(self.values, self.weights, qs)
 
     def quantile(self, q: float) -> float:
         return float(self.quantiles(np.asarray([q]))[0])
@@ -147,10 +143,9 @@ class KLL(Sketch):
     def rank(self, x: float) -> float:
         if self.values.size == 0:
             return float("nan")
-        order = np.argsort(self.values, kind="stable")
-        v = self.values[order]
-        w = self.weights[order].astype(np.float64)
-        return float(np.sum(w[v <= x]) / np.sum(w))
+        hi = np.searchsorted(self.values, x, side="right")
+        w = self.weights.astype(np.float64)
+        return float(w[:hi].sum() / w.sum())
 
     def to_bytes(self) -> bytes:
         return pack(self.NAME, params_to_json(self.params), self.n_items, [self.values, self.weights])

@@ -76,7 +76,6 @@ class MisraGries(Sketch):
         batch_keys = np.asarray(batch_keys, dtype=np.int64)
         if batch_keys.size == 0:
             return self
-        uniq, cnt = np.unique(batch_keys, return_counts=True)
         if weights is not None:
             w = np.asarray(weights, dtype=np.int64)
             order = np.argsort(batch_keys, kind="stable")
@@ -86,6 +85,8 @@ class MisraGries(Sketch):
             edge[1:] = sk[1:] != sk[:-1]
             uniq = sk[edge]
             cnt = np.add.reduceat(sw, np.flatnonzero(edge))
+        else:
+            uniq, cnt = np.unique(batch_keys, return_counts=True)
         total = int(cnt.sum())
         keys = np.concatenate([self.keys, uniq])
         counts = np.concatenate([self.counts, cnt])

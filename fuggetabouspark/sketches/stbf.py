@@ -181,13 +181,18 @@ class ScalingTimingBloomFilter(Sketch):
 
     # ---- serialization: header + concatenated tier blobs ----
     def to_bytes(self) -> bytes:
-        self._strip_empty_tail()  # canonical form
+        # canonical form strips trailing empty tiers — on a LOCAL list,
+        # never on self: __eq__/__hash__ call to_bytes and serialization
+        # must not change observable state (tier count, fill_ratios)
+        tiers = list(self.tiers)
+        while tiers and not tiers[-1].ticks.any():
+            tiers.pop()
         pj = params_to_json(self.params).encode()
         out = [MAGIC, struct.pack("<BB", VERSION, len(self.NAME)), self.NAME.encode()]
         out.append(struct.pack("<I", len(pj)))
         out.append(pj)
-        out.append(struct.pack("<QB", self.n_items, len(self.tiers)))
-        for t in self.tiers:
+        out.append(struct.pack("<QB", self.n_items, len(tiers)))
+        for t in tiers:
             blob = t.to_bytes()
             out.append(struct.pack("<Q", len(blob)))
             out.append(blob)
@@ -200,6 +205,8 @@ class ScalingTimingBloomFilter(Sketch):
         if bytes(mv[:4]) != MAGIC:
             raise ValueError("bad sketch magic")
         ver, nlen = struct.unpack_from("<BB", mv, 4)
+        if ver != VERSION:
+            raise ValueError(f"unsupported sketch version {ver}")
         off = 6
         name = bytes(mv[off : off + nlen]).decode()
         off += nlen

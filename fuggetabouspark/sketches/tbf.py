@@ -92,14 +92,22 @@ class TimingBloomFilter(Sketch):
 
     # ---- query ----
     def contains_batch(self, keys: np.ndarray, now: int) -> np.ndarray:
-        """all k buckets nonzero AND within [now - window + 1, now]."""
+        """all k buckets nonzero AND within [now - window + 1, now].
+
+        The filter stores each key's LATEST sighting (max-stamp), so
+        the answer is 'was the key's latest sighting inside the
+        window'. The upper bound matters for historical queries: a key
+        first seen at a tick AFTER ``now`` must answer False for a
+        window ending at ``now`` (a key re-sighted after ``now`` also
+        answers False — the earlier sighting is unrecoverable from
+        max-stamps, same as upstream's decay model)."""
         keys = np.asarray(keys)
         if keys.size == 0:
             return np.zeros(0, dtype=bool)
         cutoff = now - self.window + 1
         got = self.ticks[bloom_indexes(keys, self.k, self.m)]
         oldest = got.min(axis=1)
-        return oldest >= max(cutoff, 1)
+        return (oldest >= max(cutoff, 1)) & (oldest <= now)
 
     def last_seen_batch(self, keys: np.ndarray) -> np.ndarray:
         """Estimated last-sighting tick per key (0 = never seen).

@@ -113,15 +113,10 @@ class TDigest(Sketch):
 
     def quantiles(self, qs: np.ndarray) -> np.ndarray:
         """Piecewise-linear interpolation between centroid means with the
-        standard half-weight convention."""
-        if self.means.size == 0:
-            return np.full(np.asarray(qs).shape, np.nan)
-        w = self.weights
-        total = float(w.sum())
-        # cumulative weight at each centroid's center
-        cum = np.cumsum(w) - w / 2.0
-        targets = np.clip(np.asarray(qs, dtype=np.float64), 0.0, 1.0) * total
-        return np.interp(targets, cum, self.means, left=self.means[0], right=self.means[-1])
+        standard half-weight convention (shared helper in base.py)."""
+        from .base import weighted_quantiles
+
+        return weighted_quantiles(self.means, self.weights, qs)
 
     def rank(self, x: float) -> float:
         """Approximate fraction of mass <= x."""

@@ -97,6 +97,10 @@ class StreamingSketchBuilder:
                     w = getattr(sk.params, "window_ticks", None)
                     if w:
                         sk.decay(_max_tick(sk))
+        # bound state: quantile sketches merge by exact multiset union,
+        # which grows per epoch — compact before persisting (compaction
+        # is deterministic, so replays still rewrite identical bytes)
+        state = {k: (sk.compressed() if hasattr(sk, "compressed") else sk) for k, sk in state.items()}
         out = [
             (spec, group, bytearray(sk.to_bytes()), sk.n_items)
             for (spec, group), sk in sorted(state.items())
@@ -203,6 +207,9 @@ def stateful_stream_build(
                     raise ValueError(
                         f"stateful_stream_build supports value streams 'tokens'/'n_tok', got {spec.value!r}"
                     )
+        # bound engine-managed state: union-merged quantile sketches
+        # grow per trigger unless compacted before persisting
+        sketches = [sk.compressed() if hasattr(sk, "compressed") else sk for sk in sketches]
         state.update(([bytearray(sk.to_bytes()) for sk in sketches], n_items))
         yield pd.DataFrame(
             {

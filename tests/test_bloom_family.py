@@ -110,6 +110,30 @@ class TestTBF:
         f.add_batch(present, 50)  # re-sighted later
         assert f.contains_batch(present, now=55).all(), "re-sighting must refresh expiry"
 
+    def test_historical_window_upper_bound(self, rng):
+        """A key seen only AFTER the queried now must answer False for
+        a window ending at that now (latest-sighting semantics)."""
+        p = TimingParams(1000, 0.001, window_ticks=30)
+        f = TimingBloomFilter.zero(p)
+        k = rng.choice(10**7, 50, replace=False).astype(np.int64)
+        f.add_batch(k, 100)
+        assert not f.contains_batch(k, now=50).any(), "future sightings leak into past windows"
+        assert f.contains_batch(k, now=100).all()
+
+    def test_giant_filter_index_distribution(self):
+        """m >= 2^31 takes the exact-mod path: indexes must cover the
+        whole bucket range, not wrap into [0, 2^32) (Lemire overflow)."""
+        from fuggetabouspark.hashing import bloom_indexes
+
+        m = (1 << 32) + 12345
+        keys = np.arange(50_000, dtype=np.int64)
+        idx = bloom_indexes(keys, 4, m)
+        assert idx.min() >= 0 and idx.max() < m
+        frac_high = (idx >= (1 << 32)) .mean()
+        # ~12345/m of indexes belong above 2^32... too small to assert;
+        # instead check the upper half of the range is actually used
+        assert (idx >= m // 2).mean() > 0.45, "large-m indexes biased low"
+
     def test_merge_max_idempotent_commutative(self, rng):
         present, _ = _present_absent(rng, n=2000)
         p = TimingParams(CAP, ERR, window_ticks=100)

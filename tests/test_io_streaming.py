@@ -85,6 +85,36 @@ class TestStreaming:
             assert streamed[key].n_items == batch[key].n_items
 
 
+class TestLateData:
+    def test_late_arrivals_merge_order_free(self, spark, tmp_path):
+        """Rows arriving out of event-time order (late data) must fold
+        to the same state as in-order arrival — the monoid property is
+        the engine's watermark-free late-data answer."""
+        from fuggetabouspark.streaming import StreamingSketchBuilder
+
+        import pyspark.sql.functions as F
+
+        specs = [SketchSpec("t", "tbf", TimingParams(30_000, 0.005, window_ticks=10**6), "tokens")]
+        tick = (F.regexp_extract("doc_id", r"(\d+)$", 1).cast("long") % 50) + 1
+        pdf = make_rows(0, 600)
+        newer = spark.createDataFrame(make_rows(300, 600)).withColumn("tick", tick)
+        late = spark.createDataFrame(make_rows(0, 300)).withColumn("tick", tick)
+
+        b = StreamingSketchBuilder(spark, specs, str(tmp_path / "late"), tick_col=F.col("tick"),
+                                   partitions=2, decay=False)
+        b.process_batch(newer, epoch_id=0)   # newer event-times first
+        b.process_batch(late, epoch_id=1)    # late data afterwards
+        out_of_order = b.load_state()
+
+        b2 = StreamingSketchBuilder(spark, specs, str(tmp_path / "inorder"), tick_col=F.col("tick"),
+                                    partitions=2, decay=False)
+        b2.process_batch(late, epoch_id=0)
+        b2.process_batch(newer, epoch_id=1)
+        in_order = b2.load_state()
+        for key in in_order:
+            assert out_of_order[key].ticks.tobytes() == in_order[key].ticks.tobytes()
+
+
 class TestStatefulStreaming:
     def test_applyinpandaswithstate_matches_batch(self, spark, tmp_path):
         """Spark-managed per-group state (applyInPandasWithState):
