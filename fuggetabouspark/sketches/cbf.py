@@ -55,27 +55,34 @@ class CountingBloomFilter(Sketch):
         h1, h2 = pair if pair is not None else hash_pair(keys)
         idx = indexes_from_pair(h1, h2, self.k, self.m).ravel()
         w = None if weights is None else np.repeat(np.asarray(weights, dtype=np.int64), self.k)
-        # saturating add over ONLY the touched buckets (sort+reduceat):
-        # memory is O(batch·k), never O(m) — a bincount(minlength=m) +
-        # int64 widening of the whole array costs 12 bytes/bucket of
-        # transient, which at giant-filter sizes (m ~ 5e9 for 500M-key
-        # capacity) is tens of GB per batch
-        order = np.argsort(idx, kind="stable")
-        si = idx[order]
-        edge = np.empty(si.size, dtype=bool)
-        edge[0] = True
-        edge[1:] = si[1:] != si[:-1]
-        uniq_idx = si[edge]
-        starts = np.flatnonzero(edge)
-        if w is None:
-            inc = np.diff(np.concatenate([starts, [si.size]]))
+        if self.m <= (1 << 26):
+            # dense path: bincount + whole-array saturate — fastest when
+            # the O(m) transient (12 B/bucket) is small
+            inc = np.bincount(idx, weights=w, minlength=self.m).astype(np.int64)
+            wide = self.counts.astype(np.int64)
+            wide += inc
+            np.minimum(wide, int(_MAX), out=wide)
+            self.counts = wide.astype(np.uint16)
         else:
-            ps = np.concatenate([np.zeros(1, np.int64), np.cumsum(w[order])])
-            bounds = np.concatenate([starts, [si.size]])
-            inc = ps[bounds[1:]] - ps[bounds[:-1]]
-        cur = self.counts[uniq_idx].astype(np.int64) + inc
-        np.minimum(cur, int(_MAX), out=cur)
-        self.counts[uniq_idx] = cur.astype(np.uint16)
+            # giant-filter path: saturating add over ONLY the touched
+            # buckets (sort+reduceat); memory O(batch·k), never O(m) —
+            # the dense transient would be tens of GB at m ~ 5e9
+            order = np.argsort(idx, kind="stable")
+            si = idx[order]
+            edge = np.empty(si.size, dtype=bool)
+            edge[0] = True
+            edge[1:] = si[1:] != si[:-1]
+            uniq_idx = si[edge]
+            starts = np.flatnonzero(edge)
+            if w is None:
+                inc = np.diff(np.concatenate([starts, [si.size]]))
+            else:
+                ps = np.concatenate([np.zeros(1, np.int64), np.cumsum(w[order])])
+                bounds = np.concatenate([starts, [si.size]])
+                inc = ps[bounds[1:]] - ps[bounds[:-1]]
+            cur = self.counts[uniq_idx].astype(np.int64) + inc
+            np.minimum(cur, int(_MAX), out=cur)
+            self.counts[uniq_idx] = cur.astype(np.uint16)
         self.n_items += int(keys.size if weights is None else np.sum(weights))
         return self
 
