@@ -124,6 +124,28 @@ def _membership_oracle() -> str:
     """
 
 
+def q_tbf_last_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'WHEN was word X last seen, per source' from the TBF's
+    max-stamped buckets (min over a key's k buckets; exact unless all
+    k buckets were overwritten — error 1e-8 makes that effectively
+    impossible here, so the exact SQL oracle applies)."""
+    import numpy as np
+
+    from fuggetabouspark import queries as Q
+    from fuggetabouspark.params import TimingParams
+    from fuggetabouspark.pipeline import SketchSpec
+
+    params = TimingParams(capacity=20_000, error=1e-8, window_ticks=1 << 30)
+    _, sks = _build(spark, sf_dir, [SketchSpec("ls", "tbf", params, "tokens")])
+    tok = _probe_tokens(spark)
+    probes = np.array([tok[w] for w in PROBE_WORDS], dtype=np.int64)
+    est = Q.last_seen(sks, "ls", probes)
+    out = []
+    for group, ticks in est.items():
+        out.extend((group, w, int(t)) for w, t in zip(PROBE_WORDS, ticks))
+    return spark.createDataFrame(out, "source string, word string, last_tick long")
+
+
 def q_cbf_token_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CBF n_items per source == exact token count (pipeline gate)."""
     from fuggetabouspark.params import BloomParams
@@ -525,6 +547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tbf_seen_within": _membership_query("tbf"),
         "stbf_seen_within": _membership_query("stbf"),
         "cbf_token_totals": q_cbf_token_totals,
+        "tbf_last_seen": q_tbf_last_seen,
         "hll_decayed_cardinality": q_hll_decayed_cardinality,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "mg_heavy_hitters": q_mg_heavy_hitters,
@@ -576,6 +599,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source, SUM(len(string_split(text, ' '))) AS n_tokens "
             "FROM documents GROUP BY source"
         ),
+        "tbf_last_seen": f"""
+            WITH probes(word) AS (VALUES {', '.join(f"('{w}')" for w in PROBE_WORDS)}),
+            d AS (SELECT source, doc_id, string_split(text, ' ') AS ws FROM documents)
+            SELECT d.source AS source, p.word AS word,
+                   COALESCE(MAX(CASE WHEN list_contains(d.ws, p.word)
+                                     THEN (d.doc_id % 100) + 1 END), 0) AS last_tick
+            FROM d CROSS JOIN probes p
+            GROUP BY d.source, p.word
+        """,
         "cms_heavy_hitters": """
             WITH w AS (SELECT source, unnest(string_split(text,' ')) AS word FROM documents),
             c AS (SELECT source, word, count(*) AS cnt FROM w GROUP BY source, word),
