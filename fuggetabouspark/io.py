@@ -27,7 +27,7 @@ CORPUS_SCHEMA = T.StructType(
 
 def read_corpus(
     spark: SparkSession, source: str, strict: bool = True,
-    extra_cols: tuple[str, ...] = (),
+    extra_cols: tuple[str, ...] = (), fmt: str = "parquet",
 ) -> DataFrame:
     """Read the tokenized corpus.
 
@@ -37,10 +37,19 @@ def read_corpus(
     on the returned DataFrame and the scan narrows accordingly.
     ``extra_cols`` keeps additional columns (e.g. an event-time column
     that build_sketches' tick_col will reference) alongside the four
-    input_hint columns.
+    input_hint columns. ``fmt`` selects parquet (default) or json
+    (JSON-lines with tokens as int arrays) for path sources; json
+    reads apply the expected schema up front (never inferred — an
+    inferred array<long> would silently change downstream hashing).
     """
     if "/" not in source:
         df = spark.read.table(source)
+    elif fmt == "json":
+        schema = T.StructType(
+            list(CORPUS_SCHEMA.fields)
+            + [T.StructField(c, T.StringType()) for c in extra_cols]
+        )
+        df = spark.read.schema(schema).json(source)
     else:
         df = spark.read.parquet(source)
     missing = [f.name for f in CORPUS_SCHEMA.fields if f.name not in df.columns]

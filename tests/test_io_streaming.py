@@ -22,6 +22,26 @@ class TestIO:
         v = validate_corpus(df)
         assert v["ok"] and v["rows"] == 500
 
+    def test_json_source(self, spark, tmp_path):
+        """JSON-lines corpus reads with the enforced schema (never
+        inferred) and builds identically to the parquet path."""
+        from fuggetabouspark.params import HLLParams
+        from fuggetabouspark.pipeline import SketchSpec, build_sketches, merge_rows_to_sketches
+
+        src = spark_corpus(spark, 300, partitions=2)
+        pq = str(tmp_path / "pq")
+        js = str(tmp_path / "js")
+        src.write.parquet(pq)
+        src.write.json(js)
+        df_pq = read_corpus(spark, pq)
+        df_js = read_corpus(spark, js, fmt="json")
+        assert df_js.schema == df_pq.schema
+        spec = [SketchSpec("h", "hll", HLLParams(p=12), "tokens")]
+        a = merge_rows_to_sketches(build_sketches(df_pq, spec, partitions=2).collect())
+        b = merge_rows_to_sketches(build_sketches(df_js, spec, partitions=2).collect())
+        for k in a:
+            assert a[k].to_bytes() == b[k].to_bytes()
+
     def test_schema_enforcement(self, spark, tmp_path):
         p = str(tmp_path / "bad")
         spark_corpus(spark, 50, partitions=1).withColumn(
