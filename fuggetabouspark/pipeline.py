@@ -40,6 +40,7 @@ PARTIAL_DDL = (
 )
 LINEAGE_SPEC = "_lineage"
 GROUP_SEP = "\x1f"
+NULL_GROUP = "\x00null"  # group bucket for rows whose group column is NULL
 
 
 @dataclass(frozen=True)
@@ -156,6 +157,13 @@ def make_update_fn(specs: list[SketchSpec], group_cols: tuple[str, ...], salt_mo
                 gk = tbl.column(group_cols[0]).to_pandas()
                 for c in group_cols[1:]:
                     gk = gk.astype(str) + GROUP_SEP + tbl.column(c).to_pandas().astype(str)
+                # NULL group values must form their own group: factorize
+                # codes them -1, which no group loop iteration matches —
+                # their tokens would silently enter no sketch (while the
+                # lineage digest still counts them), or fold into the
+                # sole non-null group when the batch happens to have one
+                gk = gk.astype(object)
+                gk[gk.isna()] = NULL_GROUP
                 codes, uniques = pd.factorize(gk)
             else:
                 codes, uniques = np.zeros(nb, dtype=np.int64), [""]
@@ -194,8 +202,9 @@ def make_update_fn(specs: list[SketchSpec], group_cols: tuple[str, ...], salt_mo
             for gi, gval in enumerate(uniques):
                 if len(uniques) > 1:
                     rmask = codes == gi
-                    g_flat = flat_all[tok_codes == gi] if need_tok else flat_all[:0]
-                    g_ticks = tok_ticks[tok_codes == gi] if need_tok else tok_ticks[:0]
+                    tmask = (tok_codes == gi) if need_tok else None  # one scan per group
+                    g_flat = flat_all[tmask] if need_tok else flat_all[:0]
+                    g_ticks = tok_ticks[tmask] if need_tok else tok_ticks[:0]
                 else:
                     rmask = slice(None)
                     g_flat, g_ticks = flat_all, tok_ticks

@@ -38,6 +38,12 @@ def seen_within(
         if sname != spec_name or (groups is not None and group not in groups):
             continue
         if window is not None and window != sk_window(sk):
+            if window > sk_window(sk):
+                raise ValueError(
+                    f"window {window} exceeds the sketch's window_ticks "
+                    f"{sk_window(sk)}: older sightings may already be decayed, "
+                    "so widening at query time would produce false negatives"
+                )
             sk = _with_window(sk, window)
         seen = sk.contains_batch(probes, now)
         out.extend((group, int(k), bool(s)) for k, s in zip(probes, seen))
@@ -107,16 +113,19 @@ def windowed_merge(
     frequencies. Group key layout: 'source\\x1fbucket'."""
     from .pipeline import GROUP_SEP
 
-    lo = (now - window) // bucket_ticks  # first bucket overlapping window
+    # window ticks are [now - window + 1, now] (same convention as TBF
+    # decay); buckets below lo are fully expired and must not merge in
+    lo = (now - window + 1) // bucket_ticks
     hi = now // bucket_ticks
     acc: dict[str, Sketch] = {}
     for (sname, group), sk in sketches.items():
         if sname != spec_name:
             continue
         src, _, bucket = group.rpartition(GROUP_SEP)
-        if not src:
-            src, bucket = "", bucket
-        b = int(bucket)
+        try:
+            b = int(bucket)
+        except ValueError:
+            continue  # group without a bucket suffix: not part of a ring
         if lo <= b <= hi:
             acc[src] = acc[src].merge(sk) if src in acc else sk
     return dict(sorted(acc.items()))

@@ -128,6 +128,19 @@ class ScalingTimingBloomFilter(Sketch):
             out[rem] |= t.contains_batch(keys[rem], now)
         return out
 
+    def last_seen_batch(self, keys: np.ndarray) -> np.ndarray:
+        """Estimated last-sighting tick per key across tiers (0 = never
+        seen): per tier, a key's estimate is the min over its k buckets
+        but only counts when all k are nonzero (the key is IN that
+        tier); the answer is the max over tiers — a key re-inserted
+        into a newer tier reports the newer sighting."""
+        keys = np.asarray(keys)
+        out = np.zeros(keys.shape, dtype=np.int64)
+        for t in self.tiers:
+            est = t.last_seen_batch(keys)
+            np.maximum(out, est, out=out)
+        return out
+
     def decay(self, now: int) -> "ScalingTimingBloomFilter":
         for t in self.tiers:
             t.decay(now)

@@ -32,12 +32,24 @@ def _paths(checkpoint_dir: str) -> tuple[str, str]:
     return os.path.join(checkpoint_dir, "sketch_state"), os.path.join(checkpoint_dir, "lineage")
 
 
-def completed_shards(spark, checkpoint_dir: str) -> set[int]:
+def completed_shards(spark, checkpoint_dir: str, expect_n_shards: int | None = None) -> set[int]:
+    """Shard ids with durable lineage. When ``expect_n_shards`` is
+    given, refuses to resume a checkpoint built with a different shard
+    count — shard membership is pmod(hash, n_shards), so mixing counts
+    would re-process documents already covered by completed shards and
+    double-count every additive sketch."""
     _, lineage_path = _paths(checkpoint_dir)
     try:
-        rows = spark.read.parquet(lineage_path).select("shard").distinct().collect()
+        rows = spark.read.parquet(lineage_path).select("shard", "meta").collect()
     except Exception:
         return set()
+    if expect_n_shards is not None and rows:
+        recorded = json.loads(rows[0]["meta"]).get("n_shards")
+        if recorded != expect_n_shards:
+            raise ValueError(
+                f"checkpoint was built with n_shards={recorded}; resuming with "
+                f"n_shards={expect_n_shards} would double-count — use the original value"
+            )
     return {r["shard"] for r in rows}
 
 
@@ -64,7 +76,7 @@ def build_resumable(
     from pyspark.sql import functions as F
 
     state_path, lineage_path = _paths(checkpoint_dir)
-    done = completed_shards(spark, checkpoint_dir)
+    done = completed_shards(spark, checkpoint_dir, expect_n_shards=n_shards)
     shard_col = F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)).cast("int")
 
     built = 0
@@ -132,8 +144,14 @@ def compact_checkpoint(spark, checkpoint_dir: str, now: int, drop_groups_before:
     tmp = state_path + "_compacting"
     old = state_path + "_old"
     spark.createDataFrame(rows, SHARD_DDL).coalesce(4).write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(old, ignore_errors=True)
-    shutil.move(state_path, old)      # crash here → load_state falls back to _old
+    # re-entrant swap: only retire the _old fallback once a live
+    # state_path exists. If a previous compaction crashed between the
+    # two renames (state missing, _old = the only live copy — which
+    # load_state above just read), we must NOT delete _old before the
+    # new state is in place.
+    if os.path.exists(state_path):
+        shutil.rmtree(old, ignore_errors=True)
+        shutil.move(state_path, old)  # crash here → load_state falls back to _old
     shutil.move(tmp, state_path)
     shutil.rmtree(old, ignore_errors=True)
     return load_state(spark, checkpoint_dir)

@@ -80,7 +80,7 @@ class StreamingSketchBuilder:
         from versions with epoch < N plus this batch's rows. A replayed
         epoch recomputes from the same predecessor and overwrites its
         own version with identical content — never double-counts."""
-        if batch_df.rdd.isEmpty():
+        if batch_df.isEmpty():  # LIMIT-1 on the optimized plan, no RDD conversion
             return
         new_rows = build_sketches(
             batch_df, self.specs, group_cols=self.group_cols,
@@ -182,9 +182,10 @@ def stateful_stream_build(
         for pdf in pdf_iter:
             if not len(pdf):
                 continue
-            counts = pdf["tokens"].map(len).to_numpy()
+            toks = pdf["tokens"].to_numpy()
+            counts = np.fromiter((len(t) for t in toks), dtype=np.int64, count=len(toks))
             flat = (
-                np.concatenate([np.asarray(t, dtype=np.int64) for t in pdf["tokens"]])
+                np.concatenate(toks).astype(np.int64, copy=False)
                 if counts.sum()
                 else np.zeros(0, dtype=np.int64)
             )
