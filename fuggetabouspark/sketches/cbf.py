@@ -125,9 +125,17 @@ class CountingBloomFilter(Sketch):
     def merge(self, other: "CountingBloomFilter") -> "CountingBloomFilter":
         if other.params != self.params:
             raise ValueError("geometry mismatch in CBF merge")
-        wide = self.counts.astype(np.int64) + other.counts.astype(np.int64)
-        np.minimum(wide, int(_MAX), out=wide)
-        return CountingBloomFilter(self.params, wide.astype(np.uint16), self.n_items + other.n_items)
+        out = np.empty(self.m, dtype=np.uint16)
+        # chunked saturating add: transient stays <= ~1.5 GB regardless
+        # of filter size (a whole-array int64 widen is 3*8 B/bucket —
+        # tens of GB on giant filters)
+        step = 1 << 26
+        for lo in range(0, self.m, step):
+            hi = min(lo + step, self.m)
+            wide = self.counts[lo:hi].astype(np.int64) + other.counts[lo:hi].astype(np.int64)
+            np.minimum(wide, int(_MAX), out=wide)
+            out[lo:hi] = wide.astype(np.uint16)
+        return CountingBloomFilter(self.params, out, self.n_items + other.n_items)
 
     # ---- serialization ----
     def to_bytes(self) -> bytes:
