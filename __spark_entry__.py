@@ -596,7 +596,7 @@ def oracle_sql() -> dict[str, str]:
         "tbf_seen_within": _membership_oracle(),
         "stbf_seen_within": _membership_oracle(),
         "cbf_token_totals": (
-            "SELECT source, SUM(len(string_split(text, ' '))) AS n_tokens "
+            "SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens "
             "FROM documents GROUP BY source"
         ),
         "tbf_last_seen": f"""
@@ -646,19 +646,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_by_type": """
             SELECT event_type, count(*) AS n,
-                   SUM(CAST(round(value * 100) AS BIGINT)) AS value_cents
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
             FROM events GROUP BY event_type
         """,
         "orders_customer_join": """
             SELECT c_mktsegment, count(*) AS n_orders,
-                   SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+                   CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
         """,
         "lineitem_pricing": """
             SELECT l_returnflag, l_linestatus, count(*) AS count_order,
-                   SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_cents,
-                   SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents
+                   CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+                   CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents
             FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus
         """,
