@@ -156,14 +156,26 @@ def q_cbf_token_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "source string, n_tokens long")
 
 
+# effective tick window of the bucket ring at (NOW, WINDOW, bucket=10):
+# windowed_merge keeps buckets lo..hi where lo = (NOW-WINDOW+1)//10 = 5,
+# so the merged state covers ticks [50, NOW] (bucket-granularity slack of
+# up to bucket_ticks-1 ticks below the exact window — documented in
+# queries.windowed_merge). The exact oracle side uses the SAME bucket
+# window so the verdict is a pure estimate-vs-exact check.
+BUCKET_TICKS = 10
+WIN_LO_TICK = ((NOW - WINDOW + 1) // BUCKET_TICKS) * BUCKET_TICKS  # = 50
+
+
 def q_hll_decayed_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per (source, tick-bucket) HLL ring, union of last-5-buckets
-    window → estimate (rows-only: approximate by design)."""
+    """Per (source, tick-bucket) HLL ring, union of the window buckets
+    → estimate, verdict-checked against the exact distributed distinct
+    count (oracle-checkable: bool 'within 4σ of exact' + exact count;
+    p=14 → rse = 1.04/√2^14 ≈ 0.81%, 4σ = 3.25%)."""
     from fuggetabouspark import queries as Q
     from fuggetabouspark.params import HLLParams
-    from fuggetabouspark.pipeline import GROUP_SEP, SketchSpec, build_sketches, merge_rows_to_sketches
+    from fuggetabouspark.pipeline import SketchSpec, build_sketches, merge_rows_to_sketches
 
-    corpus = _corpus(spark, sf_dir).withColumn("bucket", (F.col("tick") / 10).cast("long"))
+    corpus = _corpus(spark, sf_dir).withColumn("bucket", (F.col("tick") / BUCKET_TICKS).cast("long"))
     rows = build_sketches(
         corpus,
         [SketchSpec("h", "hll", HLLParams(p=14), "tokens")],
@@ -173,10 +185,23 @@ def q_hll_decayed_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         salt_mod=2,
     ).collect()
     sks = merge_rows_to_sketches(rows)
-    est = Q.decayed_cardinality(sks, "h", now=NOW, window=WINDOW, bucket_ticks=10)
-    return spark.createDataFrame(
-        [(s, float(v)) for s, v in est.items()], "source string, est_distinct double"
+    est = Q.decayed_cardinality(sks, "h", now=NOW, window=WINDOW, bucket_ticks=BUCKET_TICKS)
+    # exact side, distributed (same bucket window as the ring merge)
+    exact_rows = (
+        _docs(spark, sf_dir)
+        .where(((F.col("doc_id") % 100) + 1).between(WIN_LO_TICK, NOW))
+        .select("source", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("source")
+        .agg(F.countDistinct("word").alias("exact"))
+        .collect()
     )
+    exact = {r["source"]: r["exact"] for r in exact_rows}
+    bound = 4 * 1.04 / (2**14) ** 0.5
+    out = [
+        (s, int(exact[s]), bool(abs(est[s] - exact[s]) <= bound * exact[s]))
+        for s in sorted(exact)
+    ]
+    return spark.createDataFrame(out, "source string, exact_distinct long, within_4sigma boolean")
 
 
 def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -258,7 +283,53 @@ def q_top_docs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _quantile_verdicts(spark, sf_dir, qhat, eps, tick_lo=None):
+    """Rank-error verdict for sketch quantile estimates q̂ at
+    φ ∈ {.25,.5,.75}: q̂ passes iff its exact rank interval
+    [count(<q̂), count(≤q̂)] intersects [(φ-ε)n, (φ+ε)n] — the standard
+    KLL/t-digest guarantee form, tie-safe. Exact counts are computed
+    distributed (broadcast the 20-source q̂ table, one agg pass);
+    the DuckDB oracle recomputes n_docs and expects every verdict
+    true, so an out-of-bound estimate breaks the value hash."""
+    qdf = spark.createDataFrame(
+        [(s, float(a), float(b), float(c)) for s, (a, b, c) in sorted(qhat.items())],
+        "source string, q25 double, q50 double, q75 double",
+    )
+    corpus = _corpus(spark, sf_dir).select("source", "n_tok", "tick")
+    if tick_lo is not None:
+        corpus = corpus.where(F.col("tick").between(tick_lo, NOW))
+    agg = (
+        corpus.join(F.broadcast(qdf), "source")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            *[
+                expr
+                for p in ("25", "50", "75")
+                for expr in (
+                    F.sum((F.col("n_tok") < F.col(f"q{p}")).cast("long")).alias(f"lo{p}"),
+                    F.sum((F.col("n_tok") <= F.col(f"q{p}")).cast("long")).alias(f"hi{p}"),
+                )
+            ],
+        )
+        .collect()
+    )
+    out = []
+    for r in sorted(agg, key=lambda r: r["source"]):
+        n = r["n"]
+        oks = [
+            bool(r[f"lo{p}"] <= (phi + eps) * n and r[f"hi{p}"] >= (phi - eps) * n)
+            for p, phi in (("25", 0.25), ("50", 0.5), ("75", 0.75))
+        ]
+        out.append((r["source"], int(n), *oks))
+    return spark.createDataFrame(
+        out, "source string, n_docs long, p25_ok boolean, p50_ok boolean, p75_ok boolean"
+    )
+
+
 def q_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-digest words-per-doc quartiles, verdict-checked against exact
+    distributed ranks (ε = 0.02 rank error; tests pin < 0.01)."""
     from fuggetabouspark.params import TDigestParams
     from fuggetabouspark.pipeline import SketchSpec
 
@@ -266,23 +337,20 @@ def q_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _, sks = _build(spark, sf_dir, [SketchSpec("t", "tdigest", TDigestParams(200.0), "n_tok")])
     qs = np.array([0.25, 0.5, 0.75])
-    out = [
-        (g, *[float(x) for x in sk.compressed().quantiles(qs)])
-        for (_, g), sk in sorted(sks.items())
-    ]
-    return spark.createDataFrame(out, "source string, p25 double, p50 double, p75 double")
+    qhat = {g: sk.compressed().quantiles(qs) for (_, g), sk in sorted(sks.items())}
+    return _quantile_verdicts(spark, sf_dir, qhat, eps=0.02)
 
 
 def q_kll_windowed_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed quantiles from a per (source, tick-bucket) KLL ring
-    (queries.windowed_merge) — words-per-doc quartiles over only the
-    last-WINDOW ticks. Rows-only (approximate), exactness pinned in
-    tests/test_query_verbs.py."""
+    (queries.windowed_merge) — words-per-doc quartiles over the
+    bucket window [WIN_LO_TICK, NOW], verdict-checked against exact
+    distributed ranks restricted to the same tick window (ε = 0.04)."""
     from fuggetabouspark import queries as Q
     from fuggetabouspark.params import KLLParams
     from fuggetabouspark.pipeline import SketchSpec, build_sketches, merge_rows_to_sketches
 
-    corpus = _corpus(spark, sf_dir).withColumn("bucket", (F.col("tick") / 10).cast("long"))
+    corpus = _corpus(spark, sf_dir).withColumn("bucket", (F.col("tick") / BUCKET_TICKS).cast("long"))
     rows = build_sketches(
         corpus,
         [SketchSpec("kw", "kll", KLLParams(200), "n_tok")],
@@ -292,41 +360,54 @@ def q_kll_windowed_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         salt_mod=2,
     ).collect()
     sks = merge_rows_to_sketches(rows)
-    merged = Q.windowed_merge(sks, "kw", now=NOW, window=WINDOW, bucket_ticks=10)
+    merged = Q.windowed_merge(sks, "kw", now=NOW, window=WINDOW, bucket_ticks=BUCKET_TICKS)
     import numpy as np
 
     qs = np.array([0.25, 0.5, 0.75])
-    out = [(g, *[float(x) for x in sk.quantiles(qs)]) for g, sk in merged.items()]
-    return spark.createDataFrame(out, "source string, p25 double, p50 double, p75 double")
+    qhat = {g: sk.quantiles(qs) for g, sk in merged.items()}
+    return _quantile_verdicts(spark, sf_dir, qhat, eps=0.04, tick_lo=WIN_LO_TICK)
 
 
 def q_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL words-per-doc quartiles, verdict-checked against exact
+    distributed ranks (ε = 0.04 rank error; k=200 tests pin < 0.03)."""
     from fuggetabouspark.params import KLLParams
     from fuggetabouspark.pipeline import SketchSpec
 
     _, sks = _build(spark, sf_dir, [SketchSpec("k", "kll", KLLParams(200), "n_tok")])
-    out = [
-        (g, float(sk.quantile(0.25)), float(sk.quantile(0.5)), float(sk.quantile(0.75)))
+    qhat = {
+        g: (sk.quantile(0.25), sk.quantile(0.5), sk.quantile(0.75))
         for (_, g), sk in sorted(sks.items())
-    ]
-    return spark.createDataFrame(out, "source string, p25 double, p50 double, p75 double")
+    }
+    return _quantile_verdicts(spark, sf_dir, qhat, eps=0.04)
 
 
 def q_lineage_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-independent token-content digest from the lineage rows
-    (ingest invariant, BASELINE.json:15) + row/token totals."""
+    (ingest invariant, BASELINE.json:15). Rows-only: the digest has no
+    SQL equivalent; the exact row/token totals from the same lineage
+    rows are oracle-gated separately in lineage_totals."""
     from fuggetabouspark.params import HLLParams
-    from fuggetabouspark.pipeline import SketchSpec, corpus_digest, lineage_from_rows
+    from fuggetabouspark.pipeline import SketchSpec, corpus_digest
+
+    rows, _ = _build(spark, sf_dir, [SketchSpec("h", "hll", HLLParams(p=10), "tokens")])
+    return spark.createDataFrame(
+        [(int(corpus_digest(rows) % (1 << 63)),)], "digest long"
+    )
+
+
+def q_lineage_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact row/token totals carried by the per-partition lineage rows
+    of a pipeline build — oracle-checkable ingest accounting (the
+    lineage invariant: nothing dropped, nothing double-counted)."""
+    from fuggetabouspark.params import HLLParams
+    from fuggetabouspark.pipeline import SketchSpec, lineage_from_rows
 
     rows, _ = _build(spark, sf_dir, [SketchSpec("h", "hll", HLLParams(p=10), "tokens")])
     lin = lineage_from_rows(rows)
     return spark.createDataFrame(
-        [(
-            int(corpus_digest(rows) % (1 << 63)),
-            sum(e["n_rows"] for e in lin),
-            sum(e["n_tokens"] for e in lin),
-        )],
-        "digest long, n_rows long, n_tokens long",
+        [(sum(e["n_rows"] for e in lin), sum(e["n_tokens"] for e in lin))],
+        "n_rows long, n_tokens long",
     )
 
 
@@ -556,6 +637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kll_quantiles": q_kll_quantiles,
         "kll_windowed_quantiles": q_kll_windowed_quantiles,
         "lineage_digest": q_lineage_digest,
+        "lineage_totals": q_lineage_totals,
         "distinct_words_per_source": q_distinct_words_per_source,
         "ntok_percentiles": q_ntok_percentiles,
         "events_by_type": q_events_by_type,
@@ -636,6 +718,36 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT source, unnest(string_split(text,' ')) AS word FROM documents) t
             GROUP BY source
         """,
+        "hll_decayed_cardinality": f"""
+            SELECT source, count(DISTINCT word) AS exact_distinct, TRUE AS within_4sigma
+            FROM (SELECT source, unnest(string_split(text, ' ')) AS word,
+                         (doc_id % 100) + 1 AS tick
+                  FROM documents) t
+            WHERE tick BETWEEN {WIN_LO_TICK} AND {NOW}
+            GROUP BY source
+        """,
+        "tdigest_quantiles": """
+            SELECT source, count(*) AS n_docs,
+                   TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p75_ok
+            FROM documents GROUP BY source
+        """,
+        "kll_quantiles": """
+            SELECT source, count(*) AS n_docs,
+                   TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p75_ok
+            FROM documents GROUP BY source
+        """,
+        "kll_windowed_quantiles": f"""
+            SELECT source, count(*) AS n_docs,
+                   TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p75_ok
+            FROM documents
+            WHERE (doc_id % 100) + 1 BETWEEN {WIN_LO_TICK} AND {NOW}
+            GROUP BY source
+        """,
+        "lineage_totals": (
+            "SELECT count(*) AS n_rows, "
+            "CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens "
+            "FROM documents"
+        ),
         "ntok_percentiles": """
             SELECT source,
                    CAST(round(quantile_cont(n_words, 0.25) * 4) AS BIGINT) AS p25x4,
