@@ -154,16 +154,23 @@ def make_update_fn(specs: list[SketchSpec], group_cols: tuple[str, ...], salt_mo
             if group_cols:
                 import pandas as pd
 
-                gk = tbl.column(group_cols[0]).to_pandas()
-                for c in group_cols[1:]:
-                    gk = gk.astype(str) + GROUP_SEP + tbl.column(c).to_pandas().astype(str)
                 # NULL group values must form their own group: factorize
                 # codes them -1, which no group loop iteration matches —
                 # their tokens would silently enter no sketch (while the
                 # lineage digest still counts them), or fold into the
-                # sole non-null group when the batch happens to have one
-                gk = gk.astype(object)
-                gk[gk.isna()] = NULL_GROUP
+                # sole non-null group when the batch happens to have one.
+                # NULLs are mapped to NULL_GROUP per column BEFORE any
+                # str conversion: astype(str) would turn NaN into the
+                # literal 'nan', which can collide with a real 'nan'
+                # group value in multi-column keys (ADVICE r01).
+                parts = []
+                for c in group_cols:
+                    s = tbl.column(c).to_pandas().astype(object)
+                    s[s.isna()] = NULL_GROUP
+                    parts.append(s)
+                gk = parts[0]
+                for p in parts[1:]:
+                    gk = gk.astype(str) + GROUP_SEP + p.astype(str)
                 codes, uniques = pd.factorize(gk)
             else:
                 codes, uniques = np.zeros(nb, dtype=np.int64), [""]

@@ -29,7 +29,11 @@ VERSION = 1
 # Partial sketch arrays are mostly zeros at low fill (a partition sees
 # only its slice of the key space), so zlib level 1 shrinks shuffle
 # payloads 10-20x for ~10 ms per partial — measured, not guessed.
-# Deterministic for a fixed level, so canonical-bytes still holds.
+# Deterministic for a fixed level AND a fixed zlib build: canonical-
+# bytes holds within one cluster image, but a different zlib
+# implementation (e.g. zlib-ng) may emit different bytes for equal
+# payloads, so cross-machine byte comparisons must decompress first
+# (merge/equality already do — they operate on decompressed arrays).
 _ZLEVEL = 1
 
 

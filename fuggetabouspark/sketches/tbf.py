@@ -82,11 +82,21 @@ class TimingBloomFilter(Sketch):
                     rows = idx[kt == t].ravel()
                     self.ticks[rows] = np.maximum(self.ticks[rows], int(t))
             else:
-                order = np.argsort(kt, kind="stable")
-                flat = idx[order].ravel()
-                tval = np.repeat(kt[order], self.k).astype(self.dtype)
-                # ascending writes: duplicates resolve to the largest tick
-                self.ticks[flat] = np.maximum(self.ticks[flat], tval)
+                # many distinct ticks: reduce duplicate bucket indexes to
+                # their max tick FIRST (lexsort by (bucket, tick), keep the
+                # last = largest per bucket), then one duplicate-free
+                # fancy max-assign. NumPy documents fancy assignment with
+                # repeated indexes as unspecified-order, so the previous
+                # ascending-write last-write-wins trick was only
+                # empirically correct (ADVICE r01); this segment reduce is
+                # guaranteed, same O(n log n) sort cost.
+                flat = idx.ravel()
+                tval = np.repeat(kt, self.k).astype(self.dtype)
+                order = np.lexsort((tval, flat))
+                f2, t2 = flat[order], tval[order]
+                last = np.ones(f2.size, dtype=bool)
+                last[:-1] = f2[1:] != f2[:-1]
+                self.ticks[f2[last]] = np.maximum(self.ticks[f2[last]], t2[last])
         self.n_items += int(keys.size)
         return self
 

@@ -182,13 +182,16 @@ def stateful_stream_build(
         for pdf in pdf_iter:
             if not len(pdf):
                 continue
-            toks = pdf["tokens"].to_numpy()
-            counts = np.fromiter((len(t) for t in toks), dtype=np.int64, count=len(toks))
-            flat = (
-                np.concatenate(toks).astype(np.int64, copy=False)
-                if counts.sum()
-                else np.zeros(0, dtype=np.int64)
-            )
+            # applyInPandasWithState delivers pandas (object column of
+            # arrays); convert ONCE to an Arrow ListArray and read
+            # lengths/values from its offsets buffer — the same
+            # explode-free idiom as the batch path, no per-row Python
+            # (ADVICE/VERDICT r01 #8)
+            import pyarrow as pa
+
+            la = pa.array(pdf["tokens"])
+            flat = la.flatten().to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+            counts = np.diff(la.offsets.to_numpy(zero_copy_only=False).astype(np.int64))
             ticks = (
                 pdf["tick"].to_numpy().astype("int64")
                 if "tick" in pdf.columns

@@ -120,6 +120,25 @@ class TestTBF:
         assert not f.contains_batch(k, now=50).any(), "future sightings leak into past windows"
         assert f.contains_batch(k, now=100).all()
 
+    def test_many_distinct_ticks_matches_maximum_at(self, rng):
+        """The >64-distinct-ticks scatter path must equal np.maximum.at
+        semantics exactly (guaranteed duplicate handling) — regression
+        pin for the segment-reduce rewrite (ADVICE r01): a numpy
+        upgrade changing fancy-assignment behavior must fail loudly."""
+        from fuggetabouspark.hashing import hash_pair, indexes_from_pair
+
+        p = TimingParams(5_000, 0.01, window_ticks=1 << 20)
+        f = TimingBloomFilter.zero(p)
+        keys = rng.integers(0, 10**4, 3000).astype(np.int64)  # heavy duplicates
+        ticks = rng.integers(1, 500, 3000).astype(np.int64)   # >64 distinct
+        assert np.unique(ticks).size > 64, "must exercise the argsort path"
+        f.add_batch(keys, ticks)
+        ref = TimingBloomFilter.zero(p)
+        h1, h2 = hash_pair(keys)
+        idx = indexes_from_pair(h1, h2, ref.k, ref.m)
+        np.maximum.at(ref.ticks, idx.ravel(), np.repeat(ticks, ref.k).astype(ref.ticks.dtype))
+        assert np.array_equal(f.ticks, ref.ticks)
+
     def test_giant_filter_index_distribution(self):
         """m >= 2^31 takes the exact-mod path: indexes must cover the
         whole bucket range, not wrap into [0, 2^32) (Lemire overflow)."""

@@ -306,6 +306,62 @@ class TestSemantics:
         )
         assert sks[("t", "s")].n_items == 3
 
+    def test_null_groups_multi_column(self, spark):
+        """NULLs in ANY column of a multi-column group key land in the
+        dedicated NULL bucket — and never collide with a literal 'nan'
+        group value (ADVICE r01: astype(str) turned NaN into 'nan')."""
+        from pyspark.sql import Row
+
+        from fuggetabouspark.pipeline import GROUP_SEP, NULL_GROUP
+
+        df = spark.createDataFrame(
+            [
+                Row(doc_id="a", tokens=[1, 2], n_tok=2, source=None, shard="x"),
+                Row(doc_id="b", tokens=[3], n_tok=1, source="nan", shard="x"),
+                Row(doc_id="c", tokens=[4], n_tok=1, source="s", shard=None),
+            ]
+        )
+        rows = build_sketches(
+            df,
+            [SketchSpec("c", "cbf", BloomParams(1000, 0.01), "tokens")],
+            group_cols=("source", "shard"),
+            partitions=2,
+        ).collect()
+        sks = merge_rows_to_sketches(rows)
+        groups = sorted(g for (s, g) in sks if s == "c")
+        assert groups == sorted(
+            [f"{NULL_GROUP}{GROUP_SEP}x", f"nan{GROUP_SEP}x", f"s{GROUP_SEP}{NULL_GROUP}"]
+        )
+        assert sks[("c", f"{NULL_GROUP}{GROUP_SEP}x")].n_items == 2
+
+    def test_distributed_probe_only_seen(self, spark, corpus_pdf):
+        """seen_within_distributed(only_seen=True) must emit exactly
+        the seen=true subset of the full answer (VERDICT r01 #9), with
+        the full mode emitting |groups| x |probes| rows."""
+        from pyspark.sql import functions as F
+
+        df = spark_corpus(spark, "xs", partitions=4)
+        state = build_sketches(
+            df,
+            [SketchSpec("tbf", "tbf", TimingParams(40_000, 0.005, window_ticks=WINDOW), "tokens")],
+            tick_col=_tick_col(),
+            partitions=4,
+        )
+        present = np.unique(np.concatenate(corpus_pdf.tokens.values))[:50].astype(np.int64)
+        absent = (np.arange(50) + 10**15).astype(np.int64)
+        probes = spark.createDataFrame(
+            [(int(k),) for k in np.concatenate([present, absent])], "key long"
+        )
+        full = Q.seen_within_distributed(spark, state, "tbf", probes, now=WINDOW).collect()
+        n_groups = state.where("spec = 'tbf'").count()
+        assert len(full) == n_groups * 100
+        hits = {(r["group"], r["key"]) for r in full if r["seen"]}
+        filt = Q.seen_within_distributed(
+            spark, state, "tbf", probes, now=WINDOW, only_seen=True
+        ).collect()
+        assert all(r["seen"] for r in filt)
+        assert {(r["group"], r["key"]) for r in filt} == hits
+
     def test_quantiles_vs_exact(self, built, corpus_pdf):
         sks = merge_rows_to_sketches(built)
         n_tok = corpus_pdf[corpus_pdf.source == "web"].n_tok.to_numpy()
