@@ -57,6 +57,37 @@ class TestIO:
             read_corpus(spark, p)
 
 
+class TestCatalogDispatch:
+    def test_table_name_routes_to_catalog_read(self, spark):
+        """A no-slash source must dispatch to spark.read.table (the
+        Iceberg catalog path — untestable end-to-end without jars, so
+        the routing itself is pinned; VERDICT r01 #10) and a path
+        source to spark.read.parquet, with the same schema gate."""
+        from fuggetabouspark.io import CORPUS_SCHEMA, read_corpus
+
+        real = spark.createDataFrame([], CORPUS_SCHEMA)
+        calls = {}
+
+        class Reader:
+            def table(self, name):
+                calls["table"] = name
+                return real
+
+            def parquet(self, path):
+                calls["parquet"] = path
+                return real
+
+        class FakeSpark:
+            read = Reader()
+
+        out = read_corpus(FakeSpark(), "warehouse.db.corpus_tokens")
+        assert calls == {"table": "warehouse.db.corpus_tokens"}
+        assert out.columns == ["doc_id", "tokens", "n_tok", "source"]
+        calls.clear()
+        read_corpus(FakeSpark(), "/some/dir/corpus")
+        assert calls == {"parquet": "/some/dir/corpus"}
+
+
 class TestStreaming:
     def test_incremental_equals_batch(self, spark, tmp_path):
         """Stream the corpus in two file drops; final state must answer
