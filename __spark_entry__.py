@@ -593,6 +593,11 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe hyperplane-LSH top-k at n_probes == 2^bits (probes
+    every bucket) — provably identical to brute force, so the exact
+    cosine oracle applies (same pattern as ann_ivf_topk at
+    nprobe == n_lists); partial-probe recall (0.98 at 8/64 buckets on
+    the clustered fixture) is pinned in tests/test_dataops.py."""
     from fuggetabouspark.dataops import lsh_bucket_topk
 
     _ship(spark)
@@ -601,7 +606,7 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = emb.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
-    res = lsh_bucket_topk(emb, qs, dim=dim, k=10, bits=6)
+    res = lsh_bucket_topk(emb, qs, dim=dim, k=10, bits=4, n_probes=16)
     return res.select("query_id", "vec_id", F.col("rank").cast("long").alias("rnk"))
 
 
@@ -809,6 +814,15 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.5
         """,
         "ann_ivf_topk": """
+            WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 3)
+            SELECT qid AS query_id, vec_id, rnk FROM (
+                SELECT q.qid, e.vec_id,
+                       row_number() OVER (PARTITION BY q.qid
+                           ORDER BY list_cosine_similarity(e.embedding, q.qv) DESC, e.vec_id) AS rnk
+                FROM embeddings e, q) t
+            WHERE rnk <= 10
+        """,
+        "ann_lsh_topk": """
             WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 3)
             SELECT qid AS query_id, vec_id, rnk FROM (
                 SELECT q.qid, e.vec_id,

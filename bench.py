@@ -123,6 +123,27 @@ def run_headline(cpus: int, sf_dir: str) -> dict:
     n = Q.seen_within_distributed(spark, state, "tbf", probes, now=1001).count()
     q["probe_200k_distributed"] = round(time.time() - t0, 3)
     extras["probe_rows"] = n
+    # same probe with executor-side miss filtering (only_seen): the
+    # output product shrinks from |groups|x|probes| to the hits
+    t0 = time.time()
+    n_seen = Q.seen_within_distributed(
+        spark, state, "tbf", probes, now=1001, only_seen=True
+    ).count()
+    q["probe_200k_only_seen"] = round(time.time() - t0, 3)
+    extras["probe_hits"] = n_seen
+
+    # dedup at corpus scale: minhash signatures straight off the
+    # pre-tokenized (input_hint-shaped) fixture corpus — the sf-dir
+    # documents table is only 500 rows, so this is the line that
+    # actually measures near-dup dedup throughput
+    from fuggetabouspark.dataops import minhash_signatures_tokens
+
+    dedup_path, dedup_rows = ensure_corpus(spark, "m")
+    mdf = spark.read.parquet(dedup_path)
+    t0 = time.time()
+    n_sigs = minhash_signatures_tokens(mdf, num_hashes=64).count()
+    q["minhash_sigs_200k_docs"] = round(time.time() - t0, 3)
+    extras["minhash_docs_per_sec"] = round(n_sigs / q["minhash_sigs_200k_docs"])
 
     # sf-dir queries (driver testdata)
     import __spark_entry__ as entrymod

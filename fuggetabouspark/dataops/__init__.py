@@ -15,6 +15,7 @@ from .dedup import (
     exact_dedup,
     minhash_lsh_candidates,
     minhash_signatures,
+    minhash_signatures_tokens,
     ngram_jaccard_pairs,
     simhash_buckets,
 )
@@ -28,6 +29,7 @@ __all__ = [
     "doc_fingerprint",
     "exact_dedup",
     "minhash_signatures",
+    "minhash_signatures_tokens",
     "minhash_lsh_candidates",
     "simhash_buckets",
     "ngram_jaccard_pairs",

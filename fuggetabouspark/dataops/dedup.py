@@ -108,11 +108,41 @@ def minhash_signatures(
     whole-batch one (which pays DRAM twice for a 47 MB transient);
     value-identical to both (test_minhash_batch_matches_per_doc_
     reference). k seeded permutations via splitmix64(h ^ seed_i)."""
+    word_hash = F.transform(F.split(F.col(text_col), " "), lambda w: F.xxhash64(w))
+    src = df.select("doc_id", "source", word_hash.alias("wh"))
+    return src.mapInArrow(
+        _make_sig_udf(num_hashes, shingle),
+        schema="doc_id long, source string, sig array<long>",
+    )
+
+
+def minhash_signatures_tokens(
+    df: DataFrame, token_col: str = "tokens", num_hashes: int = 64, shingle: int = 3
+) -> DataFrame:
+    """minhash_signatures for the input_hint corpus shape (BASELINE.
+    json:15): documents arrive pre-tokenized as tokens:array<int32>,
+    so the signature shingles token n-grams directly — no text split,
+    no per-word xxhash64, the scan reads only (doc_id, source, tokens).
+    Same kernel as the text path (shared _make_sig_udf)."""
+    src = df.select(
+        "doc_id",
+        "source",
+        # NULL token arrays -> empty (sentinel signature), keeping the
+        # Arrow offsets buffer aligned with the flattened values
+        F.coalesce(
+            F.col(token_col).cast("array<long>"), F.array().cast("array<long>")
+        ).alias("wh"),
+    )
+    return src.mapInArrow(
+        _make_sig_udf(num_hashes, shingle),
+        schema="doc_id string, source string, sig array<long>",
+    )
+
+
+def _make_sig_udf(num_hashes: int, shingle: int):
     import pyarrow as pa
 
     seeds = splitmix64(np.arange(1, num_hashes + 1, dtype=_U64))
-    word_hash = F.transform(F.split(F.col(text_col), " "), lambda w: F.xxhash64(w))
-    src = df.select("doc_id", "source", word_hash.alias("wh"))
     BLOCK_SHINGLES = 2048
 
     def sig(iterator):
@@ -154,7 +184,7 @@ def minhash_signatures(
                 }
             )
 
-    return src.mapInArrow(sig, schema="doc_id long, source string, sig array<long>")
+    return sig
 
 
 def minhash_lsh_candidates(

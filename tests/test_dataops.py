@@ -276,6 +276,36 @@ class TestDedupScaleShapes:
             assert got[doc_id] == want.tolist(), f"doc {doc_id}"
 
 
+class TestMinhashTokens:
+    def test_token_path_finds_planted_near_dup(self, spark):
+        """Pre-tokenized (input_hint-shaped) corpus: near-identical
+        token arrays must land in a shared LSH bucket; NULL arrays get
+        the sentinel signature without crashing the Arrow path."""
+        from pyspark.sql import Row
+
+        from fuggetabouspark.dataops import minhash_signatures_tokens
+
+        rng = np.random.default_rng(5)
+        base = [int(x) for x in rng.integers(0, 50_000, 200)]
+        rows = [
+            Row(doc_id="d0", source="s", tokens=base),
+            Row(doc_id="d1", source="s", tokens=base + [7, 8, 9]),  # near-dup
+            Row(doc_id="dnull", source="s", tokens=None),
+        ] + [
+            Row(doc_id=f"r{i}", source="s", tokens=[int(x) for x in rng.integers(0, 50_000, 150)])
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(rows, "doc_id string, source string, tokens array<int>")
+        sig = minhash_signatures_tokens(df, num_hashes=64)
+        got = {r.doc_id: list(r.sig) for r in sig.collect()}
+        assert got["dnull"] == [np.iinfo(np.int64).max] * 64
+        from fuggetabouspark.dataops import minhash_lsh_candidates
+
+        cand = minhash_lsh_candidates(sig, bands=16, rows_per_band=4)
+        pairs = {(r.doc_a, r.doc_b) for r in cand.collect()}
+        assert ("d0", "d1") in pairs or ("d1", "d0") in pairs
+
+
 def _clustered_embeddings(spark, n_clusters=16, per_cluster=32, dim=64, noise=0.03):
     """Deterministic clustered vectors — the realistic ANN workload
     (near-dup embeddings cluster; the sf fixtures are near-uniform
