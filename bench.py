@@ -138,7 +138,7 @@ def run_headline(cpus: int, sf_dir: str) -> dict:
     # actually measures near-dup dedup throughput
     from fuggetabouspark.dataops import minhash_signatures_tokens
 
-    dedup_path, dedup_rows = ensure_corpus(spark, "m")
+    dedup_path, _ = ensure_corpus(spark, "m")
     mdf = spark.read.parquet(dedup_path)
     t0 = time.time()
     n_sigs = minhash_signatures_tokens(mdf, num_hashes=64).count()

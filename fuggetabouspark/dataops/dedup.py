@@ -79,8 +79,9 @@ def _batch_shingles(flat: np.ndarray, counts: np.ndarray, n: int):
     with np.errstate(over="ignore"):
         acc = flat.copy()
         for j in range(1, n):
+            if L <= j:  # no position can complete an n-gram; every doc
+                break   # falls back to single-word shingles below
             acc[: L - j] = splitmix64(acc[: L - j] ^ flat[j:])
-        sm1 = splitmix64(flat)
     v = np.where(counts >= n, counts - n + 1, counts)  # shingles per doc
     out_offsets = np.concatenate([np.zeros(1, np.int64), np.cumsum(v)])
     starts = np.concatenate([np.zeros(1, np.int64), np.cumsum(counts)])[:-1]
@@ -90,8 +91,14 @@ def _batch_shingles(flat: np.ndarray, counts: np.ndarray, n: int):
         - np.repeat(out_offsets[:-1], v)
         + np.repeat(starts, v)
     )
-    long_doc = np.repeat(counts >= n, v)
-    sh_flat = np.where(long_doc, acc[idx], sm1[idx])
+    sh_flat = acc[idx]
+    if (counts < n).any():
+        # docs shorter than n fall back to single-word hashes; only
+        # hash the buffer when such docs exist (hot-path discipline)
+        with np.errstate(over="ignore"):
+            sm1 = splitmix64(flat)
+        long_doc = np.repeat(counts >= n, v)
+        sh_flat = np.where(long_doc, sh_flat, sm1[idx])
     return sh_flat, out_offsets
 
 

@@ -262,29 +262,46 @@ def ivf_topk(
 
 
 def _multiprobe_buckets(qproj: np.ndarray, bits: int, n_probes: int) -> np.ndarray:
-    """(n_queries, n_probes) bucket ids: the query's own bucket plus
-    perturbed buckets with the LOWEST-margin sign bits flipped, in
-    increasing total-margin order (classic multi-probe LSH, Lv et al.
-    VLDB'07). A vector near the query most likely differs only in the
-    hyperplanes the query barely cleared, so flipping those bits first
-    recovers most of the recall a single-bucket probe loses (round-2
-    fix, VERDICT r01 #5). Subsets are drawn from the min(bits, 8)
-    lowest-margin bits, ranked by the sum of flipped margins."""
+    """(n_queries, n_probes) DISTINCT bucket ids: the query's own
+    bucket plus perturbed buckets with the lowest-margin sign bits
+    flipped, in increasing total-flipped-margin order (classic
+    multi-probe LSH, Lv et al. VLDB'07). A vector near the query most
+    likely differs only in the hyperplanes the query barely cleared,
+    so flipping those bits first recovers most of the recall a
+    single-bucket probe loses.
+
+    Flip subsets are enumerated LAZILY in nondecreasing margin-sum
+    order (the k-smallest-subset-sums heap: children of a state with
+    last flipped bit j are append-(j+1) and replace-j-with-(j+1); each
+    subset has a unique parent, so each is emitted exactly once) —
+    O(n_probes log n_probes) per query over ALL bits, so
+    n_probes = 2^bits is exhaustive (≡ brute force) at ANY bits, with
+    no 2^t table blowup."""
+    import heapq
+
     weights = np.int64(1) << np.arange(bits, dtype=np.int64)
     base = ((qproj > 0).astype(np.int64) * weights).sum(axis=1)
     margins = np.abs(qproj)  # distance to each hyperplane
-    t = min(bits, 8)
-    low = np.argsort(margins, axis=1)[:, :t]  # (nq, t) lowest-margin bits
-    # all 2^t flip subsets, ranked per query by summed flipped margin
-    subsets = np.arange(1 << t, dtype=np.int64)
-    flip_mask = (subsets[:, None] >> np.arange(t)) & 1  # (2^t, t)
+    if bits < 62:
+        n_probes = min(n_probes, 1 << bits)  # never emit duplicate buckets
     nq = qproj.shape[0]
-    low_margin = np.take_along_axis(margins, low, axis=1)  # (nq, t)
-    cost = low_margin @ flip_mask.T.astype(np.float64)  # (nq, 2^t)
-    order = np.argsort(cost, axis=1, kind="stable")[:, :n_probes]  # subset 0 = no flip first
-    low_weights = weights[low]  # (nq, t)
-    xor = (flip_mask[order] * low_weights[:, None, :]).sum(axis=2)  # (nq, n_probes)
-    return base[:, None] ^ xor
+    out = np.empty((nq, n_probes), dtype=np.int64)
+    for qi in range(nq):
+        order = np.argsort(margins[qi], kind="stable")
+        m = margins[qi][order].astype(np.float64)
+        w = weights[order]
+        heap = [(0.0, -1, 0)]  # (flipped-margin sum, last flipped idx, xor mask)
+        k = 0
+        while heap and k < n_probes:
+            s, i, mask = heapq.heappop(heap)
+            out[qi, k] = base[qi] ^ mask
+            k += 1
+            j = i + 1
+            if j < bits:
+                heapq.heappush(heap, (s + m[j], j, mask ^ int(w[j])))
+                if i >= 0:
+                    heapq.heappush(heap, (s - m[i] + m[j], j, mask ^ int(w[i]) ^ int(w[j])))
+    return out
 
 
 def lsh_bucket_topk(
@@ -307,7 +324,7 @@ def lsh_bucket_topk(
     q = queries_df.toPandas()
     qmat = np.array([np.asarray(v, dtype=np.float32) for v in q["qvec"]])
     qproj = qmat @ planes.T
-    probe = _multiprobe_buckets(qproj, bits, min(n_probes, 1 << min(bits, 8)))
+    probe = _multiprobe_buckets(qproj, bits, n_probes)
     spark = df.sparkSession
     qdf = spark.createDataFrame(
         [

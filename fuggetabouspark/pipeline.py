@@ -153,6 +153,7 @@ def make_update_fn(specs: list[SketchSpec], group_cols: tuple[str, ...], salt_mo
             # group rows by the group-key tuple (usually just source)
             if group_cols:
                 import pandas as pd
+                import pyarrow.types as pat
 
                 # NULL group values must form their own group: factorize
                 # codes them -1, which no group loop iteration matches —
@@ -162,15 +163,24 @@ def make_update_fn(specs: list[SketchSpec], group_cols: tuple[str, ...], salt_mo
                 # NULLs are mapped to NULL_GROUP per column BEFORE any
                 # str conversion: astype(str) would turn NaN into the
                 # literal 'nan', which can collide with a real 'nan'
-                # group value in multi-column keys (ADVICE r01).
+                # group value in multi-column keys (ADVICE r01). The
+                # string rendering itself happens in ARROW (cast to
+                # pa.string) so it is independent of null presence —
+                # to_pandas() on a nullable int64 batch coerces to
+                # float64 and would render '5.0' in batches with a NULL
+                # but '5' in batches without, silently splitting one
+                # logical group into two sketch groups.
                 parts = []
                 for c in group_cols:
-                    s = tbl.column(c).to_pandas().astype(object)
+                    arr = tbl.column(c)
+                    if not (pat.is_string(arr.type) or pat.is_large_string(arr.type)):
+                        arr = arr.cast(pa.string())
+                    s = arr.to_pandas().astype(object)
                     s[s.isna()] = NULL_GROUP
                     parts.append(s)
                 gk = parts[0]
                 for p in parts[1:]:
-                    gk = gk.astype(str) + GROUP_SEP + p.astype(str)
+                    gk = gk + GROUP_SEP + p
                 codes, uniques = pd.factorize(gk)
             else:
                 codes, uniques = np.zeros(nb, dtype=np.int64), [""]

@@ -229,6 +229,21 @@ class TestDedupScaleShapes:
         assert len(g["doc_ids"]) == 8
         assert g["doc_ids"] == list(range(8))  # lowest ids, sorted
 
+    def test_shingle4_short_batch_no_crash(self, spark):
+        """shingle > 3 with a tiny trailing batch (total tokens < 2n-2)
+        used to crash the boundary-masked accumulator with a broadcast
+        ValueError (code-review r02); docs shorter than the shingle
+        fall back to single-word signatures."""
+        from pyspark.sql import Row
+
+        df = spark.createDataFrame(
+            [Row(doc_id=1, source="s", text="a b"), Row(doc_id=2, source="s", text="x")]
+        ).repartition(1)
+        rows = {r.doc_id: list(r.sig) for r in minhash_signatures(df, num_hashes=8, shingle=4).collect()}
+        assert len(rows) == 2 and all(len(v) == 8 for v in rows.values())
+        # doc 1 and doc 2 must differ (single-word fallback hashes)
+        assert rows[1] != rows[2]
+
     def test_minhash_batch_matches_per_doc_reference(self, spark):
         """The flattened batch shingle+segment-min formulation must be
         value-identical to the straightforward per-doc reference, incl.
@@ -347,6 +362,32 @@ class TestMultiProbeLSH:
         r1, r8 = recall(1), recall(8)
         assert r8 >= 0.9, f"multi-probe recall@10 {r8:.2f} < 0.9"
         assert r8 > r1, f"multi-probe {r8:.2f} must beat single-probe {r1:.2f}"
+
+    def test_lazy_enumeration_matches_exhaustive_ranking(self):
+        """The heap enumeration must yield ALL 2^bits distinct buckets
+        in nondecreasing flipped-margin order at any bits — including
+        bits > 8, where the old fixed-table version silently drew flips
+        from only the 8 lowest-margin bits (code-review r02)."""
+        from fuggetabouspark.dataops.similarity import _multiprobe_buckets
+
+        rng = np.random.default_rng(11)
+        for bits in (5, 10):
+            qproj = rng.standard_normal((3, bits))
+            probe = _multiprobe_buckets(qproj, bits, 1 << bits)
+            margins = np.abs(qproj)
+            weights = np.int64(1) << np.arange(bits, dtype=np.int64)
+            base = ((qproj > 0).astype(np.int64) * weights).sum(axis=1)
+            for qi in range(3):
+                assert len(set(probe[qi].tolist())) == 1 << bits, "all buckets, no dups"
+                # recompute each emitted bucket's flipped-margin cost;
+                # must be nondecreasing
+                flipped = probe[qi] ^ base[qi]
+                costs = [
+                    margins[qi][(np.int64(f) >> np.arange(bits)) & 1 == 1].sum()
+                    for f in flipped
+                ]
+                assert probe[qi][0] == base[qi], "own bucket first"
+                assert all(a <= b + 1e-12 for a, b in zip(costs, costs[1:]))
 
     def test_full_probe_equals_exact(self, spark, emb):
         """n_probes = 2^bits probes every bucket — must equal brute

@@ -334,6 +334,43 @@ class TestSemantics:
         )
         assert sks[("c", f"{NULL_GROUP}{GROUP_SEP}x")].n_items == 2
 
+    def test_numeric_group_labels_independent_of_null_presence(self, spark):
+        """Numeric group columns must render the same label whether or
+        not the batch contains a NULL: to_pandas() coerces nullable
+        int64 to float64, which used to split one logical group into
+        '5' and '5.0' sketch groups across batches (code-review r02).
+        The string rendering now happens in Arrow before null filling."""
+        from pyspark.sql import Row
+
+        from fuggetabouspark.pipeline import NULL_GROUP
+
+        def build(rows):
+            df = spark.createDataFrame(
+                rows, "doc_id string, tokens array<int>, n_tok int, source string, bucket long"
+            ).repartition(1)
+            out = build_sketches(
+                df,
+                [SketchSpec("h", "hll", HLLParams(p=10), "tokens")],
+                group_cols=("bucket",),
+                partitions=1,
+            ).collect()
+            return sorted(g for (s, g) in merge_rows_to_sketches(out) if s == "h")
+
+        with_null = build(
+            [
+                Row(doc_id="a", tokens=[1], n_tok=1, source="s", bucket=5),
+                Row(doc_id="b", tokens=[2], n_tok=1, source="s", bucket=None),
+            ]
+        )
+        without_null = build(
+            [
+                Row(doc_id="a", tokens=[1], n_tok=1, source="s", bucket=5),
+                Row(doc_id="b", tokens=[2], n_tok=1, source="s", bucket=7),
+            ]
+        )
+        assert with_null == sorted(["5", NULL_GROUP])
+        assert without_null == ["5", "7"], "labels must match the NULL-batch rendering"
+
     def test_distributed_probe_only_seen(self, spark, corpus_pdf):
         """seen_within_distributed(only_seen=True) must emit exactly
         the seen=true subset of the full answer (VERDICT r01 #9), with
