@@ -536,6 +536,23 @@ def q_word_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clustering: connected components over the exact
+    word-Jaccard >= 0.2 pair graph (the same edges the
+    word_jaccard_pairs entry gates), component = min doc_id. Exercises
+    the iterative min-label-propagation join loop; DuckDB recomputes
+    the transitive closure with a recursive CTE."""
+    from fuggetabouspark.dataops import connected_components
+
+    _ship(spark)
+    edges = q_word_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    cc = connected_components(edges)
+    return cc.select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("comp").cast("long").alias("cluster"),
+    )
+
+
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fuggetabouspark.dataops import minhash_lsh_candidates, minhash_signatures
 
@@ -653,6 +670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_counts": q_langid_counts,
         "quality_ingredients": q_quality_ingredients,
         "word_jaccard_pairs": q_word_jaccard_pairs,
+        "dup_clusters": q_dup_clusters,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
         "ann_topk_cosine": q_ann_topk_cosine,
@@ -807,6 +825,26 @@ def oracle_sql() -> dict[str, str]:
                    len(list_distinct(list_concat(a.ws, b.ws))) AS uni
             FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
             WHERE len(list_intersect(a.ws, b.ws)) * 5 >= len(list_distinct(list_concat(a.ws, b.ws)))
+        """,
+        "dup_clusters": """
+            WITH RECURSIVE pairs AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM (SELECT doc_id, source, list_distinct(string_split(text,' ')) AS ws
+                      FROM documents) a
+                JOIN (SELECT doc_id, source, list_distinct(string_split(text,' ')) AS ws
+                      FROM documents) b
+                  ON a.source = b.source AND a.doc_id < b.doc_id
+                WHERE len(list_intersect(a.ws, b.ws)) * 5
+                      >= len(list_distinct(list_concat(a.ws, b.ws)))
+            ),
+            e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                  UNION SELECT doc_b, doc_a FROM pairs),
+            walk(n, m) AS (
+                SELECT a, a FROM e
+                UNION
+                SELECT walk.n, e.b FROM walk JOIN e ON walk.m = e.a
+            )
+            SELECT n AS doc_id, MIN(m) AS cluster FROM walk GROUP BY n
         """,
         "embedding_near_dup": """
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b

@@ -12,6 +12,7 @@ from .textstats import (
     tokenize_words,
 )
 from .dedup import (
+    connected_components,
     exact_dedup,
     minhash_lsh_candidates,
     minhash_signatures,
@@ -28,6 +29,7 @@ __all__ = [
     "quality_score",
     "doc_fingerprint",
     "exact_dedup",
+    "connected_components",
     "minhash_signatures",
     "minhash_signatures_tokens",
     "minhash_lsh_candidates",

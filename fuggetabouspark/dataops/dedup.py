@@ -288,6 +288,61 @@ def simhash_buckets(df: DataFrame, text_col: str = "text", band_bits: int = 16) 
     return out.select("doc_id", "source", "simhash", *bandcols)
 
 
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``edges``, where
+    component = the minimum node id reachable through the pair graph —
+    the duplicate-CLUSTERING step after candidate generation (LSH) and
+    verification (jaccard): near-dup pairs chain transitively, and
+    keep-one-per-cluster needs the transitive closure, not the pairs.
+
+    Min-label propagation: every node starts labeled with itself; each
+    round, labels flow across edges (both directions) and each node
+    keeps the minimum label seen. Each round is one shuffle
+    (union + groupBy.min); rounds needed = graph diameter, which for
+    dedup clusters is tiny (near-clique neighborhoods). Labels are
+    localCheckpoint()ed per round so the loop doesn't accumulate an
+    unbounded lineage/plan. Converges when no label changes
+    (max-of-change aggregate — one tiny action per round); raises if
+    max_iter rounds don't converge rather than returning partial
+    components."""
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    lab = (
+        e.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("comp"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        msgs = e.join(lab, e.b == lab.node).select(F.col("a").alias("node"), "comp")
+        new = (
+            lab.select("node", "comp")
+            .union(msgs)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(lab.alias("o"), "node")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        lab = new
+        if changed == 0:
+            return lab.select("node", "comp")
+    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     threshold: float = 0.8,

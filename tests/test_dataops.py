@@ -211,6 +211,33 @@ class TestEmbeddingNearDup:
         assert got == want
 
 
+class TestConnectedComponents:
+    def test_planted_components_and_chain(self, spark):
+        """Two disjoint clusters + a 9-node path (transitive chaining —
+        the case pair-level dedup can't answer); min-id labeling."""
+        from fuggetabouspark.dataops import connected_components
+
+        edges = (
+            [(1, 2), (2, 3), (1, 3)]        # triangle -> comp 1
+            + [(10, 11)]                     # pair -> comp 10
+            + [(i, i + 1) for i in range(20, 28)]  # path 20..28 -> comp 20
+        )
+        df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        got = {r.node: r.comp for r in connected_components(df).collect()}
+        assert got == {
+            1: 1, 2: 1, 3: 1,
+            10: 10, 11: 10,
+            **{i: 20 for i in range(20, 29)},
+        }
+
+    def test_non_convergence_raises(self, spark):
+        from fuggetabouspark.dataops import connected_components
+
+        df = spark.createDataFrame([(i, i + 1) for i in range(6)], "doc_a long, doc_b long")
+        with pytest.raises(RuntimeError, match="converge"):
+            connected_components(df, max_iter=1)
+
+
 class TestDedupScaleShapes:
     def test_exact_dedup_caps_huge_group(self, spark):
         """A planted 10^5-copy group must stay O(max_ids) per output
