@@ -56,11 +56,15 @@ class CountingBloomFilter(Sketch):
         idx = indexes_from_pair(h1, h2, self.k, self.m).ravel()
         w = None if weights is None else np.repeat(np.asarray(weights, dtype=np.int64), self.k)
         if self.m <= (1 << 26):
-            # dense path: bincount + whole-array saturate — fastest when
-            # the O(m) transient (12 B/bucket) is small
-            inc = np.bincount(idx, weights=w, minlength=self.m).astype(np.int64)
-            wide = self.counts.astype(np.int64)
-            wide += inc
+            # dense path: np.add.at into one int64 transient + whole-
+            # array saturate. 2.3–3× the previous bincount formulation
+            # at bench geometry (weighted bincount detours through
+            # float64; ufunc.at has an indexed fast path on numpy ≥2 —
+            # same lesson as TBF's maximum.at). O(m) transient
+            # (8 B/bucket) — fine while m is small
+            wide = np.zeros(self.m, dtype=np.int64)
+            np.add.at(wide, idx, 1 if w is None else w)
+            wide += self.counts
             np.minimum(wide, int(_MAX), out=wide)
             self.counts = wide.astype(np.uint16)
         else:

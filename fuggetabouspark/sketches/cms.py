@@ -43,9 +43,14 @@ class CountMinSketch(Sketch):
         keys = np.asarray(keys)
         if keys.size == 0:
             return self
+        if weights is not None:
+            weights = np.asarray(weights, dtype=np.int64)
         for r in range(self.d):
             cols = self._row_cols(keys, r)
-            self.table[r] += np.bincount(cols, weights=weights, minlength=self.w).astype(np.int64)
+            # np.add.at keeps the accumulation in exact int64 (weighted
+            # bincount detours through float64, which would round above
+            # 2^53) and matches bincount speed at CMS widths
+            np.add.at(self.table[r], cols, 1 if weights is None else weights)
         self.n_items += int(keys.size if weights is None else np.sum(weights))
         return self
 

@@ -49,14 +49,11 @@ class HyperLogLog(Sketch):
         j = (h >> np.uint64(64 - self.p)).astype(np.int64)
         w = h << np.uint64(self.p)  # remaining 64-p bits, left-aligned
         rho = (clz64(w) + 1).clip(max=64 - self.p + 1).astype(np.uint8)
-        # scatter-max: sort by (register, rho) and keep the last per register
-        order = np.lexsort((rho, j))
-        js, rs = j[order], rho[order]
-        last = np.empty(js.size, dtype=bool)
-        last[:-1] = js[1:] != js[:-1]
-        last[-1] = True
-        jm, rm = js[last], rs[last]
-        self.registers[jm] = np.maximum(self.registers[jm], rm)
+        # scatter-max via np.maximum.at: guaranteed duplicate-index
+        # semantics and 70× the lexsort+keep-last formulation it
+        # replaces (0.07 vs 4.96 ms per 50k-key batch — numpy ≥2
+        # indexed-loop fast path; same lesson as TBF/CBF)
+        np.maximum.at(self.registers, j, rho)
         self.n_items += int(keys.size)
         return self
 
