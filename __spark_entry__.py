@@ -270,6 +270,49 @@ def q_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(out, "source string, word string, cnt long, rnk long")
 
 
+def q_mg_windowed_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed (decayed) heavy hitters: Misra–Gries ring over
+    (source, tick-bucket), queries.windowed_merge unions the window
+    buckets [WIN_LO_TICK, NOW], top-10 per source. k above the distinct
+    count keeps counters exact, so the SQL oracle recomputes the same
+    windowed counts; the lossy regime's N/(k+1) bound is pinned in
+    tests."""
+    from fuggetabouspark import queries as Q
+    from fuggetabouspark.sketches import MGParams
+    from fuggetabouspark.pipeline import SketchSpec, build_sketches, merge_rows_to_sketches
+
+    corpus = _corpus(spark, sf_dir).withColumn("bucket", (F.col("tick") / BUCKET_TICKS).cast("long"))
+    rows = build_sketches(
+        corpus,
+        [SketchSpec("gw", "mg", MGParams(k=65536), "tokens")],
+        group_cols=("source", "bucket"),
+        tick_col=F.col("tick"),
+        partitions=8,
+        salt_mod=2,
+    ).collect()
+    merged = Q.windowed_merge(
+        merge_rows_to_sketches(rows), "gw", now=NOW, window=WINDOW, bucket_ticks=BUCKET_TICKS
+    )
+    # token -> word map from the exact in-window candidate set
+    cand = (
+        _docs(spark, sf_dir)
+        .where(((F.col("doc_id") % 100) + 1).between(WIN_LO_TICK, NOW))
+        .select("source", F.explode(F.split("text", " ")).alias("word"))
+        .distinct()
+        .select("source", "word", F.xxhash64("word").alias("tok"))
+        .collect()
+    )
+    tok2word = {(r["source"], r["tok"]): r["word"] for r in cand}
+    out = []
+    for group, sk in merged.items():
+        ranked = sorted(
+            ((tok2word[(group, int(t))], int(c)) for t, c in zip(sk.keys, sk.counts)),
+            key=lambda wc: (-wc[1], wc[0]),
+        )[:10]
+        out.extend((group, w, c, r + 1) for r, (w, c) in enumerate(ranked))
+    return spark.createDataFrame(out, "source string, word string, cnt long, rnk long")
+
+
 def q_top_docs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL window-function plumbing: 3 longest docs per source."""
     from pyspark.sql.window import Window
@@ -654,6 +697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_decayed_cardinality": q_hll_decayed_cardinality,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "mg_heavy_hitters": q_mg_heavy_hitters,
+        "mg_windowed_heavy_hitters": q_mg_windowed_heavy_hitters,
         "top_docs_per_source": q_top_docs_per_source,
         "tdigest_quantiles": q_tdigest_quantiles,
         "kll_quantiles": q_kll_quantiles,
@@ -723,6 +767,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "mg_heavy_hitters": """
             WITH w AS (SELECT source, unnest(string_split(text,' ')) AS word FROM documents),
+            c AS (SELECT source, word, count(*) AS cnt FROM w GROUP BY source, word),
+            r AS (SELECT source, word, cnt,
+                         row_number() OVER (PARTITION BY source ORDER BY cnt DESC, word) AS rnk
+                  FROM c)
+            SELECT source, word, cnt, rnk FROM r WHERE rnk <= 10
+        """,
+        "mg_windowed_heavy_hitters": f"""
+            WITH w AS (SELECT source, unnest(string_split(text,' ')) AS word
+                       FROM documents
+                       WHERE (doc_id % 100) + 1 BETWEEN {WIN_LO_TICK} AND {NOW}),
             c AS (SELECT source, word, count(*) AS cnt FROM w GROUP BY source, word),
             r AS (SELECT source, word, cnt,
                          row_number() OVER (PARTITION BY source ORDER BY cnt DESC, word) AS rnk
