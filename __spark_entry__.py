@@ -671,11 +671,18 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL decode path (round 2): synthesized RIFF/PCM16 payloads are
+    genuinely parsed on executors (pure numpy/struct WAV codec) and
+    audio features extracted per sampled frame. Rows-only: features
+    are floats and SQL can't decode WAV; the codec roundtrip and
+    feature math are pinned in tests/test_dataops.py::TestMultimodal."""
     from fuggetabouspark.dataops.multimodal import decode_and_featurize, synthesize_media
 
     _ship(spark)
-    media = synthesize_media(spark, n=32, kind="video")
-    return decode_and_featurize(media, frames_per_media=2).select("media_id", "frame_idx")
+    media = synthesize_media(spark, n=32, kind="wav")
+    return decode_and_featurize(media, frames_per_media=2, fake=False).select(
+        "media_id", "frame_idx"
+    )
 
 
 # --------------------------------------------------------------------

@@ -1,31 +1,165 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns with typed metadata.
 
-The container has no image/audio codecs, so the decode kernels are
-STUBS — a deterministic fake decoder behind ``fake=True`` and a
-clearly-marked NotImplementedError otherwise. Everything Spark-side is
-real and tested: schema, Arrow batch shape, partition-parallel
-mapInArrow, metadata extraction.
+Two tiers (round-2 upgrade — the decode step was fully stubbed in
+round 1):
 
-At 100 TB the pattern matters more than the codec: binary payloads
+- **REAL codecs, zero external deps** for container-friendly formats:
+  WAV (RIFF/PCM16 — 44-byte header + samples) and PPM (P6 — ASCII
+  header + raw RGB) are parsed/emitted with struct + numpy only.
+  ``decode_and_featurize(..., fake=False)`` genuinely decodes these
+  and extracts real signal features (RMS / zero-crossing / spectral
+  centroid / band energies for audio; channel means / luma stats /
+  histogram for images).
+- **Declared stub** for codec-bound formats (jpeg/mp3/mp4 …): the
+  container ships no codec libs, so those kinds raise a clearly-marked
+  NotImplementedError; ``fake=True`` keeps the deterministic fake
+  decoder for plumbing tests.
+
+At 100 TB the pattern matters as much as the codec: binary payloads
 stay columnar in parquet, the UDF sees Arrow buffers (no base64, no
-per-row Python), and frame-sampling/resizing emit one row per sample
-with explicit (doc_id, frame_idx) keys so downstream joins are
+per-row Python beyond the per-payload decode itself, which is
+irreducible), and frame-sampling emits one row per sample with
+explicit (media_id, frame_idx) keys so downstream joins are
 co-partitionable.
 """
 
 from __future__ import annotations
+
+import struct
 
 import numpy as np
 from pyspark.sql import DataFrame
 
 MEDIA_DDL = "media_id long, kind string, payload binary, width int, height int, n_frames int"
 FEATURE_DDL = "media_id long, frame_idx int, feature array<float>"
+FEATURE_DIM = 8
+
+
+# --------------------------------------------------------------------
+# real codecs (stdlib struct + numpy only)
+# --------------------------------------------------------------------
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16_000) -> bytes:
+    """Mono PCM16 RIFF/WAVE writer (the canonical 44-byte header)."""
+    pcm = np.asarray(samples, dtype=np.int16).tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(pcm), b"WAVE",
+        b"fmt ", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16,
+        b"data", len(pcm),
+    )
+    return hdr + pcm
+
+
+def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
+    """(samples int16, sample_rate) from a mono PCM16 RIFF buffer.
+    Walks the chunk list (fmt may be followed by LIST/fact chunks in
+    the wild), validating magic and format."""
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE buffer")
+    pos, rate, data = 12, None, None
+    while pos + 8 <= len(buf):
+        cid, sz = struct.unpack_from("<4sI", buf, pos)
+        body = buf[pos + 8 : pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt, ch, rate, _, _, bits = struct.unpack_from("<HHIIHH", body, 0)
+            if (fmt, ch, bits) != (1, 1, 16):
+                raise ValueError(f"only mono PCM16 supported, got fmt={fmt} ch={ch} bits={bits}")
+        elif cid == b"data":
+            data = np.frombuffer(body, dtype="<i2")
+        pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("WAVE buffer missing fmt/data chunk")
+    return data, int(rate)
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """P6 (binary) PPM writer for an (H, W, 3) uint8 image."""
+    img = np.asarray(img, dtype=np.uint8)
+    h, w, c = img.shape
+    if c != 3:
+        raise ValueError("PPM is RGB: expected (H, W, 3)")
+    return f"P6\n{w} {h}\n255\n".encode() + img.tobytes()
+
+
+def decode_ppm(buf: bytes) -> np.ndarray:
+    """(H, W, 3) uint8 from a P6 PPM buffer (whitespace/comment-safe
+    header scan, then one zero-copy frombuffer + reshape)."""
+    if buf[:2] != b"P6":
+        raise ValueError("not a P6 PPM buffer")
+    fields, pos = [], 2
+    while len(fields) < 3:
+        while pos < len(buf) and buf[pos : pos + 1].isspace():
+            pos += 1
+        if buf[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(buf) and buf[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(buf) and not buf[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(buf[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError("only 8-bit PPM supported")
+    return np.frombuffer(buf, dtype=np.uint8, count=h * w * 3, offset=pos).reshape(h, w, 3)
+
+
+# --------------------------------------------------------------------
+# real feature kernels (numpy; FEATURE_DIM floats each)
+# --------------------------------------------------------------------
+
+
+def _audio_features(frame: np.ndarray, rate: int) -> list[float]:
+    """[rms, zero-crossing rate, spectral centroid (Hz), rolloff(0.85),
+    4 octave-ish band energy fractions] — the classic cheap set."""
+    if frame.size == 0:
+        return [0.0] * FEATURE_DIM
+    x = frame.astype(np.float64) / 32768.0
+    rms = float(np.sqrt(np.mean(x * x)))
+    zcr = float(np.mean(np.abs(np.diff(np.signbit(x))))) if x.size > 1 else 0.0
+    spec = np.abs(np.fft.rfft(x)) ** 2
+    freqs = np.fft.rfftfreq(x.size, d=1.0 / rate)
+    tot = spec.sum()
+    if tot <= 0:
+        return [rms, zcr] + [0.0] * (FEATURE_DIM - 2)
+    centroid = float((freqs * spec).sum() / tot)
+    cum = np.cumsum(spec)
+    rolloff = float(freqs[int(np.searchsorted(cum, 0.85 * tot))])
+    edges = np.array([0.0, rate / 32, rate / 16, rate / 8, rate / 2 + 1])
+    bands = [
+        float(spec[(freqs >= lo) & (freqs < hi)].sum() / tot)
+        for lo, hi in zip(edges[:-1], edges[1:])
+    ]
+    return [rms, zcr, centroid, rolloff, *bands]
+
+
+def _image_features(img: np.ndarray) -> list[float]:
+    """[mean R, mean G, mean B, std luma, 4-bin luma histogram
+    fractions] for an (H, W, 3) uint8 image."""
+    f = img.astype(np.float64)
+    luma = 0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]
+    hist, _ = np.histogram(luma, bins=4, range=(0.0, 256.0))
+    return [
+        float(f[..., 0].mean()), float(f[..., 1].mean()), float(f[..., 2].mean()),
+        float(luma.std()),
+        *(hist / max(luma.size, 1)).astype(np.float64).tolist(),
+    ]
+
+
+# --------------------------------------------------------------------
+# Spark surface
+# --------------------------------------------------------------------
 
 
 def synthesize_media(spark, n: int = 64, kind: str = "image", seed: int = 42) -> DataFrame:
-    """Deterministic fake media table for tests: payload bytes are a
-    pure function of (seed, media_id)."""
+    """Deterministic media table: payload bytes are a pure function of
+    (seed, media_id). kinds 'wav' and 'ppm' emit REAL encoded payloads
+    (decodable by decode_wav/decode_ppm); 'image'/'video' keep the
+    raw-bytes fake payloads for the plumbing tests."""
     import pyarrow as pa
 
     def gen(iterator):
@@ -34,10 +168,31 @@ def synthesize_media(spark, n: int = 64, kind: str = "image", seed: int = 42) ->
             payloads, w, h, f = [], [], [], []
             for i in ids:
                 rng = np.random.Generator(np.random.PCG64(seed + int(i)))
-                w.append(int(rng.integers(8, 32)))
-                h.append(int(rng.integers(8, 32)))
-                f.append(1 if kind == "image" else int(rng.integers(2, 10)))
-                payloads.append(rng.integers(0, 256, size=w[-1] * h[-1] * f[-1], dtype=np.uint8).tobytes())
+                if kind == "wav":
+                    rate = 16_000
+                    n_frames = int(rng.integers(2, 6))
+                    frame_len = 1024
+                    t = np.arange(n_frames * frame_len) / rate
+                    f0 = float(rng.integers(200, 3000))
+                    x = 0.5 * np.sin(2 * np.pi * f0 * t) + 0.01 * rng.standard_normal(t.size)
+                    payloads.append(encode_wav((x * 32767 * 0.9).astype(np.int16), rate))
+                    w.append(frame_len)       # samples per frame
+                    h.append(1)
+                    f.append(n_frames)
+                elif kind == "ppm":
+                    wi, hi = int(rng.integers(8, 32)), int(rng.integers(8, 32))
+                    img = rng.integers(0, 256, size=(hi, wi, 3), dtype=np.uint8)
+                    payloads.append(encode_ppm(img))
+                    w.append(wi)
+                    h.append(hi)
+                    f.append(1)
+                else:
+                    w.append(int(rng.integers(8, 32)))
+                    h.append(int(rng.integers(8, 32)))
+                    f.append(1 if kind == "image" else int(rng.integers(2, 10)))
+                    payloads.append(
+                        rng.integers(0, 256, size=w[-1] * h[-1] * f[-1], dtype=np.uint8).tobytes()
+                    )
             yield pa.RecordBatch.from_pydict(
                 {
                     "media_id": pa.array(ids, pa.int64()),
@@ -56,34 +211,55 @@ def decode_and_featurize(df: DataFrame, frames_per_media: int = 2, fake: bool = 
     """Frame-sample + feature-extract each media payload.
 
     fake=True: deterministic 8-dim mean-of-bytes "feature" per sampled
-    frame (real Arrow plumbing, fake decode). fake=False: raises
-    NotImplementedError — a real deployment plugs pillow/ffmpeg here.
+    frame (real Arrow plumbing, fake decode — any kind).
+    fake=False: REAL decode for kind in {'wav', 'ppm'} (pure
+    numpy/struct codecs above); other kinds raise NotImplementedError
+    because real jpeg/mp4 decode needs codec libs absent from this
+    container — plug pillow/ffmpeg into the same frame loop there.
     """
     import pyarrow as pa
 
     def feat(iterator):
         for tbl in iterator:
-            if not fake:
-                raise NotImplementedError(
-                    "real image/audio decode needs codec libs not present in this container; "
-                    "plug a decoder into decode_and_featurize()"
-                )
             mids = tbl.column("media_id").to_numpy()
+            kinds = tbl.column("kind").to_pylist()
             ws = tbl.column("width").to_numpy()
             hs = tbl.column("height").to_numpy()
             fs = tbl.column("n_frames").to_numpy()
             payload = tbl.column("payload")
             out_ids, out_fidx, out_feat = [], [], []
             for i in range(len(tbl)):
-                raw = np.frombuffer(payload[i].as_py(), dtype=np.uint8)
-                frame_sz = int(ws[i]) * int(hs[i])
+                raw = payload[i].as_py()
                 take = min(frames_per_media, int(fs[i]))
-                for j in range(take):
-                    frame = raw[j * frame_sz : (j + 1) * frame_sz].astype(np.float32)
-                    chunks = np.array_split(frame, 8)
+                if fake:
+                    arr = np.frombuffer(raw, dtype=np.uint8)
+                    frame_sz = int(ws[i]) * int(hs[i])
+                    for j in range(take):
+                        frame = arr[j * frame_sz : (j + 1) * frame_sz].astype(np.float32)
+                        chunks = np.array_split(frame, FEATURE_DIM)
+                        out_ids.append(int(mids[i]))
+                        out_fidx.append(j)
+                        out_feat.append([float(c.mean()) if c.size else 0.0 for c in chunks])
+                elif kinds[i] == "wav":
+                    samples, rate = decode_wav(raw)
+                    frame_len = int(ws[i])
+                    for j in range(take):
+                        out_ids.append(int(mids[i]))
+                        out_fidx.append(j)
+                        out_feat.append(
+                            _audio_features(samples[j * frame_len : (j + 1) * frame_len], rate)
+                        )
+                elif kinds[i] == "ppm":
+                    img = decode_ppm(raw)
                     out_ids.append(int(mids[i]))
-                    out_fidx.append(j)
-                    out_feat.append([float(c.mean()) if c.size else 0.0 for c in chunks])
+                    out_fidx.append(0)
+                    out_feat.append(_image_features(img))
+                else:
+                    raise NotImplementedError(
+                        f"real decode for kind={kinds[i]!r} needs codec libs not present "
+                        "in this container; wav/ppm decode natively, or plug a decoder "
+                        "into decode_and_featurize()"
+                    )
             yield pa.RecordBatch.from_pydict(
                 {
                     "media_id": pa.array(out_ids, pa.int64()),

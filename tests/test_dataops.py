@@ -466,7 +466,50 @@ class TestMultimodal:
             got[r.media_id] += 1
         assert all(got[m] == min(2, n_frames[m]) for m in got)
 
-    def test_real_decode_is_marked_stub(self, spark):
-        media = synthesize_media(spark, n=2)
+    def test_real_decode_is_marked_stub_for_codec_formats(self, spark):
+        media = synthesize_media(spark, n=2)  # kind='image': raw fake bytes
         with pytest.raises(Exception, match="NotImplementedError|decode"):
             decode_and_featurize(media, fake=False).collect()
+
+    def test_wav_codec_roundtrip_and_spectral_centroid(self):
+        from fuggetabouspark.dataops.multimodal import (
+            _audio_features,
+            decode_wav,
+            encode_wav,
+        )
+
+        rate = 16_000
+        t = np.arange(8192) / rate
+        f0 = 1000.0
+        x = (0.8 * 32767 * np.sin(2 * np.pi * f0 * t)).astype(np.int16)
+        back, r2 = decode_wav(encode_wav(x, rate))
+        assert r2 == rate and np.array_equal(back, x), "PCM16 roundtrip must be exact"
+        feats = _audio_features(x, rate)
+        rms, zcr, centroid = feats[0], feats[1], feats[2]
+        assert abs(rms - 0.8 / np.sqrt(2)) < 0.01, "sine RMS = A/sqrt(2)"
+        assert abs(centroid - f0) < 25, f"spectral centroid {centroid} != {f0}"
+        assert abs(zcr - 2 * f0 / rate) < 0.01, "2 zero crossings per cycle"
+
+    def test_ppm_codec_roundtrip(self):
+        from fuggetabouspark.dataops.multimodal import decode_ppm, encode_ppm
+
+        rng = np.random.default_rng(1)
+        img = rng.integers(0, 256, size=(13, 9, 3), dtype=np.uint8)
+        assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+        with pytest.raises(ValueError):
+            decode_ppm(b"P5\n1 1\n255\n\x00")
+
+    def test_real_wav_and_ppm_featurize_end_to_end(self, spark):
+        """fake=False genuinely decodes the synthesized RIFF/P6 payloads
+        on executors and extracts finite real features."""
+        for kind, frames in (("wav", 2), ("ppm", 1)):
+            media = synthesize_media(spark, n=8, kind=kind)
+            rows = decode_and_featurize(media, frames_per_media=2, fake=False).collect()
+            assert len(rows) == 8 * frames
+            for r in rows:
+                assert len(r.feature) == 8
+                assert all(np.isfinite(v) for v in r.feature)
+            if kind == "wav":
+                # synthesized sines have f0 in [200, 3000]; the decoded
+                # spectral centroid must land in that band (+noise slack)
+                assert all(100 < r.feature[2] < 4000 for r in rows)
