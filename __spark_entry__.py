@@ -561,6 +561,41 @@ def q_quality_ingredients(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stable_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash sampling, verdict-gated: DuckDB can't compute
+    Spark's xxhash64, so the entry emits properties the oracle CAN
+    recompute — exact corpus size plus booleans for (a) sample size
+    within 4σ binomial of rate·N, (b) byte-stability across partition
+    counts (the operator's whole point: same sample on 8 or 1000
+    executors), (c) subset monotonicity (rate=0.1 sample ⊆ rate=0.3),
+    (d) independent-salt overlap within 4σ of rate²·N."""
+    from fuggetabouspark.dataops import stable_sample
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    n_total = docs.count()
+    rate = 0.2
+
+    def ids(df):
+        return {r["doc_id"] for r in df.collect()}
+
+    s2 = ids(stable_sample(docs.repartition(2), rate))
+    s8 = ids(stable_sample(docs.repartition(8), rate))
+    small = ids(stable_sample(docs, 0.1))
+    other = ids(stable_sample(docs, rate, salt="b"))
+    n = len(s2)
+    sigma = (rate * (1 - rate) * n_total) ** 0.5
+    size_ok = abs(n - rate * n_total) <= 4 * sigma
+    stable_ok = s2 == s8
+    subset_ok = small <= s2 if rate >= 0.1 else None
+    ov = len(s2 & other)
+    ov_sigma = max((rate * rate * n_total) ** 0.5, 1.0)
+    overlap_ok = abs(ov - rate * rate * n_total) <= 4 * ov_sigma
+    return spark.createDataFrame(
+        [(n_total, bool(size_ok), bool(stable_ok), bool(subset_ok), bool(overlap_ok))],
+        "n_total long, size_ok boolean, stable_ok boolean, subset_ok boolean, overlap_ok boolean",
+    )
+
+
 def q_word_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-set Jaccard >= 0.2 within source, integer form
     (5*|∩| >= |∪|); the verification stage of near-dup dedup."""
@@ -720,6 +755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "langid_counts": q_langid_counts,
         "quality_ingredients": q_quality_ingredients,
+        "stable_sample": q_stable_sample,
         "word_jaccard_pairs": q_word_jaccard_pairs,
         "dup_clusters": q_dup_clusters,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -878,6 +914,10 @@ def oracle_sql() -> dict[str, str]:
                    length(text) AS n_chars_obs
             FROM documents
         """,
+        "stable_sample": (
+            "SELECT count(*) AS n_total, TRUE AS size_ok, TRUE AS stable_ok, "
+            "TRUE AS subset_ok, TRUE AS overlap_ok FROM documents"
+        ),
         "word_jaccard_pairs": """
             WITH s AS (SELECT doc_id, source, list_distinct(string_split(text,' ')) AS ws
                        FROM documents)

@@ -8,6 +8,7 @@ from .textstats import (
     doc_fingerprint,
     language_id,
     quality_score,
+    stable_sample,
     token_counts,
     tokenize_words,
 )
@@ -27,6 +28,7 @@ __all__ = [
     "token_counts",
     "language_id",
     "quality_score",
+    "stable_sample",
     "doc_fingerprint",
     "exact_dedup",
     "connected_components",

@@ -96,6 +96,29 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def stable_sample(
+    df: DataFrame,
+    rate: float,
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic hash sampling: keep rows whose xxhash64(key, salt)
+    lands in the bottom ``rate`` fraction of the hash space. Unlike
+    df.sample(), the kept set is a pure function of the key — stable
+    across runs, partition counts, and cluster sizes (so a 1% corpus
+    sample drawn on 8 executors equals the one drawn on 1000), and
+    different ``salt`` values draw independent samples. One JVM-side
+    predicate, pushes through the scan like any filter."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    threshold = -(1 << 63) + int(rate * float(1 << 64))
+    h = F.xxhash64(F.col(key_col).cast("string"), F.lit(salt))
+    # threshold may exceed int64 max at rate=1.0: keep everything
+    if threshold > (1 << 63) - 1:
+        return df
+    return df.where(h < F.lit(threshold))
+
+
 def doc_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """64-bit content fingerprint per document (xxhash64 of the exact
     text) plus a shingle fingerprint (hash of the sorted distinct

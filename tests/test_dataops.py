@@ -211,6 +211,23 @@ class TestEmbeddingNearDup:
         assert got == want
 
 
+class TestStableSample:
+    def test_deterministic_monotone_and_unbiased(self, spark, docs):
+        from fuggetabouspark.dataops import stable_sample
+
+        ids = lambda df: {r.doc_id for r in df.select("doc_id").collect()}
+        s_a = ids(stable_sample(docs.repartition(2), 0.3))
+        s_b = ids(stable_sample(docs.repartition(7), 0.3))
+        assert s_a == s_b, "sample must not depend on partitioning"
+        assert ids(stable_sample(docs, 0.1)) <= s_a, "rate growth only adds rows"
+        n_total = docs.count()
+        assert abs(len(s_a) - 0.3 * n_total) <= 4 * (0.3 * 0.7 * n_total) ** 0.5
+        assert ids(stable_sample(docs, 0.0)) == set()
+        assert len(ids(stable_sample(docs, 1.0))) == n_total
+        # different salt -> a (near-)independent draw, not the same set
+        assert ids(stable_sample(docs, 0.3, salt="other")) != s_a
+
+
 class TestConnectedComponents:
     def test_planted_components_and_chain(self, spark):
         """Two disjoint clusters + a 9-node path (transitive chaining —
