@@ -118,11 +118,30 @@ def weighted_quantiles(values: np.ndarray, weights: np.ndarray, qs) -> np.ndarra
     return np.interp(targets, cum, values, left=values[0], right=values[-1])
 
 
+def as_keys(key) -> np.ndarray:
+    """Scalar key → one-element int64 array for the batch kernels.
+    Strings hash through hash64_strings (the same mapping the pipeline
+    uses for doc_id columns), so `f.add("user-42"); "user-42" in f`
+    works exactly like upstream fuggetaboutit's hashable-key API."""
+    if isinstance(key, str):
+        from ..hashing import hash64_strings
+
+        return hash64_strings([key]).view(np.int64)
+    return np.array([key], dtype=np.int64)
+
+
 class Sketch:
     """Minimal shared surface; concrete sketches define NAME and the
-    zero/update/merge/to_bytes/from_bytes quintet."""
+    zero/update/merge/to_bytes/from_bytes quintet.
+
+    Upstream-parity operator: ``a + b`` merges two same-geometry
+    sketches (fuggetaboutit's ``__add__``); merge() always returns a
+    NEW sketch, so ``+`` is side-effect-free."""
 
     NAME = "?"
+
+    def __add__(self, other) -> "Sketch":
+        return self.merge(other)
 
     def __eq__(self, other) -> bool:  # byte-level equality is the contract
         return type(self) is type(other) and self.to_bytes() == other.to_bytes()

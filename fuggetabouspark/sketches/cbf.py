@@ -104,6 +104,27 @@ class CountingBloomFilter(Sketch):
         self.n_items = max(0, self.n_items - int(keys.size))
         return self
 
+    # ---- upstream-parity scalar surface ----
+    def add(self, key, weight: int = 1) -> "CountingBloomFilter":
+        """fuggetaboutit-style scalar add; key may be int or str."""
+        from .base import as_keys
+
+        return self.add_batch(
+            as_keys(key), weights=None if weight == 1 else np.array([weight], np.int64)
+        )
+
+    def remove(self, key) -> "CountingBloomFilter":
+        from .base import as_keys
+
+        return self.remove_batch(as_keys(key))
+
+    def contains(self, key) -> bool:
+        from .base import as_keys
+
+        return bool(self.contains_batch(as_keys(key))[0])
+
+    __contains__ = contains
+
     # ---- query ----
     def contains_batch(self, keys: np.ndarray) -> np.ndarray:
         keys = np.asarray(keys)

@@ -54,6 +54,19 @@ class CountMinSketch(Sketch):
         self.n_items += int(keys.size if weights is None else np.sum(weights))
         return self
 
+    def add(self, key, weight: int = 1) -> "CountMinSketch":
+        """Scalar add; key may be int or str."""
+        from .base import as_keys
+
+        return self.add_batch(
+            as_keys(key), None if weight == 1 else np.array([weight], np.int64)
+        )
+
+    def query(self, key) -> int:
+        from .base import as_keys
+
+        return int(self.query_batch(as_keys(key))[0])
+
     def query_batch(self, keys: np.ndarray) -> np.ndarray:
         """Upper-bound counts: min over the d rows."""
         keys = np.asarray(keys)

@@ -38,6 +38,12 @@ class HyperLogLog(Sketch):
     def zero(cls, params: HLLParams) -> "HyperLogLog":
         return cls(params)
 
+    def add(self, key) -> "HyperLogLog":
+        """Scalar add; key may be int or str."""
+        from .base import as_keys
+
+        return self.add_batch(as_keys(key))
+
     def add_batch(self, keys: np.ndarray, h: np.ndarray | None = None) -> "HyperLogLog":
         """``h`` lets the pipeline pass the shared hash64(keys) (the
         Bloom family's h1) so keys hash once per batch."""

@@ -102,6 +102,9 @@ class KLL(Sketch):
         vals, wts = _levels_to_samples(levels)
         return cls(params, vals, wts, n)
 
+    def add(self, value: float) -> "KLL":
+        return self.add_batch(np.array([value], dtype=np.float64))
+
     def add_batch(self, values: np.ndarray) -> "KLL":
         merged = self.merge(KLL.from_values(self.params, values))
         self.values, self.weights, self.n_items = merged.values, merged.weights, merged.n_items

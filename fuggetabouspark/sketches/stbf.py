@@ -118,6 +118,17 @@ class ScalingTimingBloomFilter(Sketch):
         return self
 
     # ---- query ----
+    def add(self, key, tick: int) -> "ScalingTimingBloomFilter":
+        """fuggetaboutit-style scalar add; key may be int or str."""
+        from .base import as_keys
+
+        return self.add_batch(as_keys(key), tick)
+
+    def contains(self, key, now: int) -> bool:
+        from .base import as_keys
+
+        return bool(self.contains_batch(as_keys(key), now)[0])
+
     def contains_batch(self, keys: np.ndarray, now: int) -> np.ndarray:
         keys = np.asarray(keys)
         out = np.zeros(keys.shape, dtype=bool)

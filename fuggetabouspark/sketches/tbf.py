@@ -78,6 +78,20 @@ class TimingBloomFilter(Sketch):
         self.n_items += int(keys.size)
         return self
 
+    # ---- upstream-parity scalar surface ----
+    def add(self, key, tick: int) -> "TimingBloomFilter":
+        """fuggetaboutit-style scalar add at an explicit event tick
+        (ticks replace upstream's wall-clock timestamps — SURVEY §7.5);
+        key may be int or str."""
+        from .base import as_keys
+
+        return self.add_batch(as_keys(key), tick)
+
+    def contains(self, key, now: int) -> bool:
+        from .base import as_keys
+
+        return bool(self.contains_batch(as_keys(key), now)[0])
+
     # ---- query ----
     def contains_batch(self, keys: np.ndarray, now: int) -> np.ndarray:
         """all k buckets nonzero AND within [now - window + 1, now].

@@ -84,6 +84,9 @@ class TDigest(Sketch):
         m, w = _compress(v, np.ones(v.size, dtype=np.float64), params.compression)
         return cls(params, m, w, int(v.size))
 
+    def add(self, value: float) -> "TDigest":
+        return self.add_batch(np.array([value], dtype=np.float64))
+
     def add_batch(self, values: np.ndarray) -> "TDigest":
         """Absorb raw values by unioning a freshly compressed partial."""
         other = TDigest.from_values(self.params, values)

@@ -228,3 +228,64 @@ class TestSTBF:
         g = sketch_from_bytes(f.to_bytes())
         assert g == f
         assert len(g.tiers) == len(f.tiers)
+
+
+class TestUpstreamParitySurface:
+    """Drive the sketches exactly like an upstream fuggetaboutit user:
+    scalar add/remove/contains with hashable (string) keys, `in`,
+    `+` for merge — thin wrappers over the batch kernels."""
+
+    def test_cbf_scalar_flow(self):
+        from fuggetabouspark.params import BloomParams
+        from fuggetabouspark.sketches import CountingBloomFilter
+
+        f = CountingBloomFilter.zero(BloomParams(1000, 0.001))
+        f.add("alice").add("bob").add("alice")
+        assert "alice" in f and "bob" in f and "carol" not in f
+        f.remove("alice")
+        assert "alice" in f  # still one copy
+        f.remove("alice")
+        assert "alice" not in f and "bob" in f
+
+    def test_merge_operator(self):
+        from fuggetabouspark.params import BloomParams
+        from fuggetabouspark.sketches import CountingBloomFilter
+
+        a = CountingBloomFilter.zero(BloomParams(1000, 0.001)).add("x")
+        b = CountingBloomFilter.zero(BloomParams(1000, 0.001)).add("y")
+        m = a + b
+        assert "x" in m and "y" in m
+        assert "y" not in a, "+ must not mutate operands"
+        assert m == a.merge(b), "byte-identical to merge()"
+
+    def test_tbf_stbf_scalar_window(self):
+        from fuggetabouspark.params import ScalingParams, TimingParams
+        from fuggetabouspark.sketches import ScalingTimingBloomFilter, TimingBloomFilter
+
+        for f in (
+            TimingBloomFilter.zero(TimingParams(1000, 0.001, window_ticks=10)),
+            ScalingTimingBloomFilter.zero(ScalingParams(1000, 0.001, window_ticks=10)),
+        ):
+            f.add("ev-1", tick=5)
+            assert f.contains("ev-1", now=10)
+            assert not f.contains("ev-1", now=50), "expired outside window"
+            assert not f.contains("ev-2", now=10)
+
+    def test_companion_scalars(self):
+        from fuggetabouspark.params import CMSParams, HLLParams, KLLParams, TDigestParams
+        from fuggetabouspark.sketches import KLL, CountMinSketch, HyperLogLog, TDigest
+
+        h = HyperLogLog.zero(HLLParams(p=12))
+        for i in range(200):
+            h.add(f"key-{i}")
+        assert abs(h.estimate() - 200) < 20
+        c = CountMinSketch.zero(CMSParams(eps=1e-3, delta=1e-3))
+        c.add("hot", weight=5).add("hot")
+        assert c.query("hot") == 6 and c.query("cold") == 0
+        t = TDigest.zero(TDigestParams(100.0))
+        k = KLL.zero(KLLParams(200))
+        for v in range(101):
+            t.add(float(v))
+            k.add(float(v))
+        assert abs(t.compressed().quantile(0.5) - 50.0) < 2
+        assert abs(k.quantile(0.5) - 50.0) < 2
