@@ -236,6 +236,33 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(out, "source string, word string, cnt long, rnk long")
 
 
+def _mg_top10_df(spark, sf_dir, sketches, tick_lo=None):
+    """(source, word, cnt, rnk) top-10 per group from exact-regime MG
+    summaries: tokens map back to words via the exact distinct
+    candidate set (collision-free 64-bit hash space at this scale),
+    optionally restricted to docs whose tick is in [tick_lo, NOW].
+    Shared by the full and windowed MG entries so ranking/tie-break
+    logic can't diverge."""
+    docs = _docs(spark, sf_dir)
+    if tick_lo is not None:
+        docs = docs.where(((F.col("doc_id") % 100) + 1).between(tick_lo, NOW))
+    cand = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("word"))
+        .distinct()
+        .select("source", "word", F.xxhash64("word").alias("tok"))
+        .collect()
+    )
+    tok2word = {(r["source"], r["tok"]): r["word"] for r in cand}
+    out = []
+    for group, sk in sorted(sketches.items()):
+        ranked = sorted(
+            ((tok2word[(group, int(t))], int(c)) for t, c in zip(sk.keys, sk.counts)),
+            key=lambda wc: (-wc[1], wc[0]),
+        )[:10]
+        out.extend((group, w, c, r + 1) for r, (w, c) in enumerate(ranked))
+    return spark.createDataFrame(out, "source string, word string, cnt long, rnk long")
+
+
 def q_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Misra–Gries top-10 words per source through the pipeline. k is
     sized above the distinct-word count, so counters are exact and the
@@ -245,29 +272,7 @@ def q_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fuggetabouspark.pipeline import SketchSpec
 
     _, sks = _build(spark, sf_dir, [SketchSpec("g", "mg", MGParams(k=65536), "tokens")])
-    # map tokens back to words via the exact candidate list (hash is
-    # collision-free in 64-bit space at this scale)
-    cand = (
-        _docs(spark, sf_dir)
-        .select("source", F.explode(F.split("text", " ")).alias("word"))
-        .distinct()
-        .select("source", "word", F.xxhash64("word").alias("tok"))
-        .collect()
-    )
-    tok2word = {}
-    for r in cand:
-        tok2word[(r["source"], r["tok"])] = r["word"]
-    out = []
-    for (sname, group), sk in sorted(sks.items()):
-        import numpy as np
-
-        order = np.lexsort((sk.keys, -sk.counts))
-        ranked = sorted(
-            ((tok2word[(group, int(sk.keys[i]))], int(sk.counts[i])) for i in order),
-            key=lambda wc: (-wc[1], wc[0]),
-        )[:10]
-        out.extend((group, w, c, r + 1) for r, (w, c) in enumerate(ranked))
-    return spark.createDataFrame(out, "source string, word string, cnt long, rnk long")
+    return _mg_top10_df(spark, sf_dir, {g: sk for (_, g), sk in sks.items()})
 
 
 def q_mg_windowed_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -293,24 +298,7 @@ def q_mg_windowed_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = Q.windowed_merge(
         merge_rows_to_sketches(rows), "gw", now=NOW, window=WINDOW, bucket_ticks=BUCKET_TICKS
     )
-    # token -> word map from the exact in-window candidate set
-    cand = (
-        _docs(spark, sf_dir)
-        .where(((F.col("doc_id") % 100) + 1).between(WIN_LO_TICK, NOW))
-        .select("source", F.explode(F.split("text", " ")).alias("word"))
-        .distinct()
-        .select("source", "word", F.xxhash64("word").alias("tok"))
-        .collect()
-    )
-    tok2word = {(r["source"], r["tok"]): r["word"] for r in cand}
-    out = []
-    for group, sk in merged.items():
-        ranked = sorted(
-            ((tok2word[(group, int(t))], int(c)) for t, c in zip(sk.keys, sk.counts)),
-            key=lambda wc: (-wc[1], wc[0]),
-        )[:10]
-        out.extend((group, w, c, r + 1) for r, (w, c) in enumerate(ranked))
-    return spark.createDataFrame(out, "source string, word string, cnt long, rnk long")
+    return _mg_top10_df(spark, sf_dir, merged, tick_lo=WIN_LO_TICK)
 
 
 def q_top_docs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -580,13 +568,13 @@ def q_stable_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     s2 = ids(stable_sample(docs.repartition(2), rate))
     s8 = ids(stable_sample(docs.repartition(8), rate))
-    small = ids(stable_sample(docs, 0.1))
+    small = ids(stable_sample(docs, rate / 2))  # always a sub-rate of `rate`
     other = ids(stable_sample(docs, rate, salt="b"))
     n = len(s2)
     sigma = (rate * (1 - rate) * n_total) ** 0.5
     size_ok = abs(n - rate * n_total) <= 4 * sigma
     stable_ok = s2 == s8
-    subset_ok = small <= s2 if rate >= 0.1 else None
+    subset_ok = small <= s2
     ov = len(s2 & other)
     ov_sigma = max((rate * rate * n_total) ** 0.5, 1.0)
     overlap_ok = abs(ov - rate * rate * n_total) <= 4 * ov_sigma

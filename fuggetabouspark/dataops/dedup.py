@@ -302,14 +302,15 @@ def connected_components(
 
     Min-label propagation: every node starts labeled with itself; each
     round, labels flow across edges (both directions) and each node
-    keeps the minimum label seen. Each round is one shuffle
-    (union + groupBy.min); rounds needed = graph diameter, which for
-    dedup clusters is tiny (near-clique neighborhoods). Labels are
-    localCheckpoint()ed per round so the loop doesn't accumulate an
-    unbounded lineage/plan. Converges when no label changes
-    (max-of-change aggregate — one tiny action per round); raises if
-    max_iter rounds don't converge rather than returning partial
-    components."""
+    keeps the minimum label seen. Per-round cost: the edges⋈labels
+    join, the union + groupBy.min, and a labels⋈labels join for change
+    detection — three shuffle-bearing ops on O(E)/O(V) rows; rounds
+    needed = graph diameter, which for dedup clusters is tiny
+    (near-clique neighborhoods). Labels are localCheckpoint()ed per
+    round so the loop doesn't accumulate an unbounded lineage/plan.
+    Converges when no label changes (limit(1).count() on the diff —
+    stops at the first changed row); raises if max_iter rounds don't
+    converge rather than returning partial components."""
     e = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))

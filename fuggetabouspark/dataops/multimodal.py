@@ -250,10 +250,13 @@ def decode_and_featurize(df: DataFrame, frames_per_media: int = 2, fake: bool = 
                             _audio_features(samples[j * frame_len : (j + 1) * frame_len], rate)
                         )
                 elif kinds[i] == "ppm":
-                    img = decode_ppm(raw)
-                    out_ids.append(int(mids[i]))
-                    out_fidx.append(0)
-                    out_feat.append(_image_features(img))
+                    # a PPM is a single frame; honor n_frames=0 metadata
+                    # (emit nothing) like the other branches do
+                    if take >= 1:
+                        img = decode_ppm(raw)
+                        out_ids.append(int(mids[i]))
+                        out_fidx.append(0)
+                        out_feat.append(_image_features(img))
                 else:
                     raise NotImplementedError(
                         f"real decode for kind={kinds[i]!r} needs codec libs not present "

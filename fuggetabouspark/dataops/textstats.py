@@ -108,15 +108,21 @@ def stable_sample(
     across runs, partition counts, and cluster sizes (so a 1% corpus
     sample drawn on 8 executors equals the one drawn on 1000), and
     different ``salt`` values draw independent samples. One JVM-side
-    predicate, pushes through the scan like any filter."""
+    predicate, pushes through the scan like any filter.
+
+    Rows with a NULL key are never sampled (excluded outright): Spark's
+    xxhash64 skips NULL inputs, so every NULL-key row would otherwise
+    share ONE hash and be kept all-or-nothing as a block — the opposite
+    of sampling."""
     if not 0.0 <= rate <= 1.0:
         raise ValueError(f"rate must be in [0, 1], got {rate}")
     threshold = -(1 << 63) + int(rate * float(1 << 64))
     h = F.xxhash64(F.col(key_col).cast("string"), F.lit(salt))
+    keyed = df.where(F.col(key_col).isNotNull())
     # threshold may exceed int64 max at rate=1.0: keep everything
     if threshold > (1 << 63) - 1:
-        return df
-    return df.where(h < F.lit(threshold))
+        return keyed
+    return keyed.where(h < F.lit(threshold))
 
 
 def doc_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
