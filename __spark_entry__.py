@@ -301,6 +301,55 @@ def q_mg_windowed_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _mg_top10_df(spark, sf_dir, merged, tick_lo=WIN_LO_TICK)
 
 
+def q_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-vocabulary estimate between source pairs via HLL
+    inclusion–exclusion (|A|+|B|−|A∪B|; union = register max, exact
+    for HLL). Verdict-gated: the exact intersection is recomputed
+    distributed AND by the oracle; the estimate must land within
+    6σ·(|A|+|B|+|A∪B|) of it, the standard absolute-error model for
+    I-E on sketches (σ = 1.04/√2^14 per estimate). First 5 sources
+    (sorted) → 10 pairs."""
+    from fuggetabouspark import queries as Q
+    from fuggetabouspark.params import HLLParams
+    from fuggetabouspark.pipeline import SketchSpec
+
+    _, sks = _build(spark, sf_dir, [SketchSpec("hx", "hll", HLLParams(p=14), "tokens")])
+    groups = sorted(g for (_, g) in sks)[:5]
+    # exact per-pair intersection, distributed: distinct (source, word)
+    # pairs self-joined on word
+    words = (
+        _docs(spark, sf_dir)
+        .where(F.col("source").isin(groups))
+        .select("source", F.explode(F.split("text", " ")).alias("word"))
+        .distinct()
+    )
+    a = words.select(F.col("source").alias("src_a"), "word")
+    b = words.select(F.col("source").alias("src_b"), "word")
+    exact_rows = (
+        a.join(b, "word")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("exact_shared"))
+        .collect()
+    )
+    exact = {(r["src_a"], r["src_b"]): r["exact_shared"] for r in exact_rows}
+    sigma = 1.04 / (2**14) ** 0.5
+    out = []
+    for i, ga in enumerate(groups):
+        for gb in groups[i + 1 :]:
+            sa, sb = sks[("hx", ga)], sks[("hx", gb)]
+            if (ga, gb) not in exact:
+                continue  # zero shared words: the SQL join emits no row
+            est = Q.hll_intersection(sa, sb)
+            na, nb, nu = sa.estimate(), sb.estimate(), sa.merge(sb).estimate()
+            bound = 6 * sigma * (na + nb + nu)
+            ex = exact[(ga, gb)]
+            out.append((ga, gb, int(ex), bool(abs(est - ex) <= bound)))
+    return spark.createDataFrame(
+        out, "src_a string, src_b string, exact_shared long, within_bound boolean"
+    )
+
+
 def q_top_docs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL window-function plumbing: 3 longest docs per source."""
     from pyspark.sql.window import Window
@@ -725,6 +774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cbf_token_totals": q_cbf_token_totals,
         "tbf_last_seen": q_tbf_last_seen,
         "hll_decayed_cardinality": q_hll_decayed_cardinality,
+        "hll_intersection": q_hll_intersection,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "mg_heavy_hitters": q_mg_heavy_hitters,
         "mg_windowed_heavy_hitters": q_mg_windowed_heavy_hitters,
@@ -833,6 +883,15 @@ def oracle_sql() -> dict[str, str]:
                   FROM documents) t
             WHERE tick BETWEEN {WIN_LO_TICK} AND {NOW}
             GROUP BY source
+        """,
+        "hll_intersection": """
+            WITH g AS (SELECT DISTINCT source FROM documents ORDER BY source LIMIT 5),
+            w AS (SELECT DISTINCT source, unnest(string_split(text, ' ')) AS word
+                  FROM documents WHERE source IN (SELECT source FROM g))
+            SELECT a.source AS src_a, b.source AS src_b,
+                   count(*) AS exact_shared, TRUE AS within_bound
+            FROM w a JOIN w b ON a.word = b.word AND a.source < b.source
+            GROUP BY a.source, b.source
         """,
         "tdigest_quantiles": """
             SELECT source, count(*) AS n_docs,
