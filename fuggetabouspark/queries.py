@@ -92,11 +92,16 @@ def seen_within_distributed(
     bc = spark.sparkContext.broadcast(payloads)
 
     def probe(iterator):
+        from .hashing import hash_pair
+
         sks = [(g, sketch_from_bytes(p)) for g, p in bc.value]
         for tbl in iterator:
             keys = tbl.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            # hash the batch ONCE; every group's filter reuses the pair
+            # (the dominant probe cost is |groups| x hashing otherwise)
+            pair = hash_pair(keys)
             for g, sk in sks:
-                seen = sk.contains_batch(keys, now)
+                seen = sk.contains_batch(keys, now, pair=pair)
                 out_keys, out_seen = keys, seen
                 if only_seen:
                     out_keys = keys[seen]

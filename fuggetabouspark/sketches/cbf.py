@@ -126,11 +126,12 @@ class CountingBloomFilter(Sketch):
     __contains__ = contains
 
     # ---- query ----
-    def contains_batch(self, keys: np.ndarray) -> np.ndarray:
+    def contains_batch(self, keys: np.ndarray, pair=None) -> np.ndarray:
         keys = np.asarray(keys)
         if keys.size == 0:
             return np.zeros(0, dtype=bool)
-        idx = bloom_indexes(keys, self.k, self.m)
+        h1, h2 = pair if pair is not None else hash_pair(keys)
+        idx = indexes_from_pair(h1, h2, self.k, self.m)
         return self.counts[idx].min(axis=1) > 0
 
     def fill_ratio(self) -> float:

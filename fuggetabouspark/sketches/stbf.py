@@ -129,14 +129,20 @@ class ScalingTimingBloomFilter(Sketch):
 
         return bool(self.contains_batch(as_keys(key), now)[0])
 
-    def contains_batch(self, keys: np.ndarray, now: int) -> np.ndarray:
+    def contains_batch(self, keys: np.ndarray, now: int, pair=None) -> np.ndarray:
         keys = np.asarray(keys)
+        if keys.size and pair is None:
+            from ..hashing import hash_pair
+
+            pair = hash_pair(keys)  # hash once, reuse across every tier
         out = np.zeros(keys.shape, dtype=bool)
         for t in reversed(self.tiers):  # newest first, like upstream
             rem = ~out
             if not rem.any():
                 break
-            out[rem] |= t.contains_batch(keys[rem], now)
+            out[rem] |= t.contains_batch(
+                keys[rem], now, pair=(pair[0][rem], pair[1][rem])
+            )
         return out
 
     def last_seen_batch(self, keys: np.ndarray) -> np.ndarray:

@@ -93,7 +93,7 @@ class TimingBloomFilter(Sketch):
         return bool(self.contains_batch(as_keys(key), now)[0])
 
     # ---- query ----
-    def contains_batch(self, keys: np.ndarray, now: int) -> np.ndarray:
+    def contains_batch(self, keys: np.ndarray, now: int, pair=None) -> np.ndarray:
         """all k buckets nonzero AND within [now - window + 1, now].
 
         The filter stores each key's LATEST sighting (max-stamp), so
@@ -102,12 +102,16 @@ class TimingBloomFilter(Sketch):
         first seen at a tick AFTER ``now`` must answer False for a
         window ending at ``now`` (a key re-sighted after ``now`` also
         answers False — the earlier sighting is unrecoverable from
-        max-stamps, same as upstream's decay model)."""
+        max-stamps, same as upstream's decay model).
+        ``pair`` shares hash_pair(keys) across sketches — probing N
+        per-group filters with the same key batch hashes once, not N
+        times (the probe path's dominant cost)."""
         keys = np.asarray(keys)
         if keys.size == 0:
             return np.zeros(0, dtype=bool)
+        h1, h2 = pair if pair is not None else hash_pair(keys)
         cutoff = now - self.window + 1
-        got = self.ticks[bloom_indexes(keys, self.k, self.m)]
+        got = self.ticks[indexes_from_pair(h1, h2, self.k, self.m)]
         oldest = got.min(axis=1)
         return (oldest >= max(cutoff, 1)) & (oldest <= now)
 
