@@ -668,19 +668,91 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# planted-clone parameters for the LSH/simhash verdict entries: every
+# PLANT_MOD-th doc gets an exact text clone with doc_id + PLANT_OFFSET.
+# Identical text ⇒ identical signature/simhash ⇒ the pair is found with
+# CERTAINTY (every band bucket matches), so booleans are deterministic
+# and the oracle recomputes the planted-pair count from the same
+# doc_id arithmetic. The clones live in different partitions than the
+# originals (union branches), so equality across the pair also pins
+# batch/partition-independence of the hashing (the round-1 bug class).
+PLANT_MOD = 5
+PLANT_OFFSET = 1_000_000_000
+
+
+def _planted_corpus(spark: SparkSession, sf_dir: str):
+    """(corpus with clones, planted originals) for the LSH verdicts."""
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    planted = docs.where(F.col("doc_id") % PLANT_MOD == 0)
+    clones = planted.select(
+        (F.col("doc_id") + PLANT_OFFSET).alias("doc_id"), "source", "text"
+    )
+    return docs.unionByName(clones), planted
+
+
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH planted-pair verdict (oracle-gated, round 3 — was
+    rows-only: DuckDB can't recompute xxhash64 band buckets, but it CAN
+    recompute the planted ground truth). Exact clones share all 64
+    minhashes, so every planted (doc, doc+OFFSET) pair MUST appear in
+    the candidate set — n_found == n_planted deterministically.
+    not_all_pairs guards the opposite failure mode (a bucket-key bug
+    degenerating into an all-pairs join): candidates must stay under
+    5% of the full pair count (real value ≲ 0.1%)."""
     from fuggetabouspark.dataops import minhash_lsh_candidates, minhash_signatures
 
     _ship(spark)
-    sig = minhash_signatures(_docs(spark, sf_dir), num_hashes=64)
-    return minhash_lsh_candidates(sig, bands=16, rows_per_band=4)
+    corpus, planted = _planted_corpus(spark, sf_dir)
+    sig = minhash_signatures(corpus, num_hashes=64)
+    cand = minhash_lsh_candidates(sig, bands=16, rows_per_band=4)
+    pairs = planted.select(
+        F.col("doc_id").alias("doc_a"),
+        (F.col("doc_id") + PLANT_OFFSET).alias("doc_b"),
+    )
+    n_planted = pairs.count()
+    n_found = pairs.join(cand, ["doc_a", "doc_b"], "left_semi").count()
+    n_docs = corpus.count()
+    n_cand = cand.count()
+    not_all_pairs = n_cand < 0.05 * (n_docs * (n_docs - 1) / 2)
+    return spark.createDataFrame(
+        [(int(n_planted), int(n_found), bool(n_found == n_planted), bool(not_all_pairs))],
+        "n_planted long, n_found long, all_found boolean, not_all_pairs boolean",
+    )
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash planted-clone verdict (oracle-gated, round 3 — same
+    pattern as minhash_lsh_pairs). A clone with byte-identical text
+    must get a bit-identical 64-bit simhash even though it is hashed
+    in a different partition with different batch-mates — equality
+    across the planted pairs pins both the simhash math and its
+    batch/partition independence. The oracle recomputes n_docs and the
+    planted count from doc_id arithmetic and expects every clone equal."""
     from fuggetabouspark.dataops import simhash_buckets
 
     _ship(spark)
-    return simhash_buckets(_docs(spark, sf_dir)).select("doc_id", "simhash")
+    corpus, _ = _planted_corpus(spark, sf_dir)
+    sh = simhash_buckets(corpus)
+    orig = sh.where(F.col("doc_id") < PLANT_OFFSET).select(
+        F.col("doc_id").alias("o_id"), F.col("simhash").alias("o_sh")
+    )
+    clone = sh.where(F.col("doc_id") >= PLANT_OFFSET).select(
+        (F.col("doc_id") - PLANT_OFFSET).alias("o_id"), F.col("simhash").alias("c_sh")
+    )
+    row = (
+        orig.join(clone, "o_id")
+        .agg(
+            F.count("*").alias("n_planted"),
+            F.sum((F.col("o_sh") == F.col("c_sh")).cast("long")).alias("n_equal"),
+        )
+        .collect()[0]
+    )
+    n_docs = _docs(spark, sf_dir).count()
+    return spark.createDataFrame(
+        [(int(n_docs), int(row["n_planted"]), int(row["n_equal"]),
+          bool(row["n_planted"] == row["n_equal"]))],
+        "n_docs long, n_planted long, n_equal long, all_equal boolean",
+    )
 
 
 def q_ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -993,6 +1065,19 @@ def oracle_sql() -> dict[str, str]:
                 SELECT walk.n, e.b FROM walk JOIN e ON walk.m = e.a
             )
             SELECT n AS doc_id, MIN(m) AS cluster FROM walk GROUP BY n
+        """,
+        "minhash_lsh_pairs": f"""
+            SELECT CAST(count(*) AS BIGINT) AS n_planted,
+                   CAST(count(*) AS BIGINT) AS n_found,
+                   TRUE AS all_found, TRUE AS not_all_pairs
+            FROM documents WHERE doc_id % {PLANT_MOD} = 0
+        """,
+        "simhash": f"""
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(CASE WHEN doc_id % {PLANT_MOD} = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_planted,
+                   CAST(SUM(CASE WHEN doc_id % {PLANT_MOD} = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_equal,
+                   TRUE AS all_equal
+            FROM documents
         """,
         "embedding_near_dup": """
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
