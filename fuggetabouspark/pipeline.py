@@ -214,7 +214,9 @@ def make_update_fn(specs: list[SketchSpec], group_cols: tuple[str, ...], salt_mo
                 else None
             )
             doc_keys = (
-                hash64_strings(tbl.column("doc_id").to_pylist()).view(np.int64)
+                # Arrow column straight through — the string kernel runs
+                # over the values buffer + offsets, no per-string Python
+                hash64_strings(tbl.column("doc_id")).view(np.int64)
                 if need_doc_keys
                 else None
             )

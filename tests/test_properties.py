@@ -93,3 +93,45 @@ def test_mg_bounds(xs, k):
     est = mg.estimate(uniq)
     assert (est <= exact).all()
     assert (exact - est <= keys.size / (k + 1)).all()
+
+
+def test_hash64_strings_golden_and_arrow_paths():
+    """Pin hash64_strings byte-for-byte: these hashes are baked into
+    serialized doc-keyed sketch state, so ANY drift (numpy/pyarrow
+    upgrade, kernel refactor) must fail loudly. Also pins that the
+    Arrow fast path (values buffer + offsets, round 3) agrees exactly
+    with the legacy sequence path, including slices, large_string,
+    nulls ('None'), non-strings (str()), and unicode."""
+    import pyarrow as pa
+
+    from fuggetabouspark.hashing import hash64_strings
+
+    golden = {
+        ("a",): [13906159068427031964],
+        ("abc", "a", "", "abcdef"): [
+            12578444927678923021, 13906159068427031964,
+            14087677454934409008, 15161239791107448824,
+        ],
+        ("doc_000123", "doc_9"): [9857438130895252412, 3963678522459655622],
+        ("日本語", "x" * 300): [16336644465870788801, 1913880023558855944],
+    }
+    for c, g in golden.items():
+        assert hash64_strings(list(c)).tolist() == g
+        assert hash64_strings(pa.array(list(c), pa.string())).tolist() == g
+        assert hash64_strings(pa.array(list(c), pa.large_string())).tolist() == g
+        assert hash64_strings(pa.chunked_array([pa.array(list(c))])).tolist() == g
+    # seeded variant
+    assert hash64_strings(["a"], seed=7).tolist() == [15405762436428462575]
+    assert hash64_strings(pa.array(["a"]), seed=7).tolist() == [15405762436428462575]
+    # nulls render like str(None); non-strings like str(x)
+    assert hash64_strings([123, None, "None"]).tolist() == [
+        9855492446265715041, 11214512052931077625, 11214512052931077625,
+    ]
+    assert hash64_strings(pa.array([123, None], pa.int64())).tolist() == [
+        9855492446265715041, 11214512052931077625,
+    ]
+    # sliced arrays re-anchor the shared offsets buffer
+    arr = pa.array(["pad", "abc", "a", "", "abcdef"])
+    assert hash64_strings(arr.slice(1)).tolist() == golden[("abc", "a", "", "abcdef")]
+    assert hash64_strings([]).size == 0
+    assert hash64_strings(pa.array([], pa.string())).size == 0
