@@ -132,6 +132,26 @@ def main():
         "lsh",
     ))
 
+    # 5. hyperplane-LSH index build: pure map over the scan
+    from fuggetabouspark.dataops.similarity import hyperplane_buckets
+
+    dim = len(emb.select("embedding").first()[0])
+    bucketed, _ = hyperplane_buckets(emb, dim=dim, bits=6)
+    p5 = plan_of(bucketed)
+    sections.append((
+        "hyperplane-LSH index build (bucket assignment, no vector join)",
+        p5,
+        "Bucket assignment passes the vectors through the one "
+        "mapInArrow pass — the plan must contain NO exchange and NO "
+        "join: at 10^12 × 768-dim a bucket⋈vector self-join would "
+        "shuffle the whole embedding table per index build.",
+    ))
+    checks.append((
+        "LSH index build has zero exchanges and no join (vectors never shuffle)",
+        p5.count("- Exchange") == 0 and "Join" not in p5,
+        "lsh-index",
+    ))
+
     lines = ["# PLANS — physical-plan evidence (auto-generated by tools/explain_plans.py)", ""]
     lines.append("## Checks")
     lines.append("")
