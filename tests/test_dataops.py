@@ -266,7 +266,13 @@ class TestDedupScaleShapes:
             F.col("id").alias("doc_id"),
             F.concat(F.lit("unique "), F.col("id").cast("string")).alias("text"),
         )
-        groups = exact_dedup(big.unionAll(uniq), max_ids=8).collect()
+        out = exact_dedup(big.unionAll(uniq), max_ids=8)
+        # round 3: the bounded sample must come from two-level
+        # aggregation, never a rank window — a Window.partitionBy(fp)
+        # would sort the whole pathological group in ONE task
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan
+        groups = out.collect()
         assert len(groups) == 1
         g = groups[0]
         assert g["n_copies"] == 100_000
