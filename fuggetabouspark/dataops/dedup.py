@@ -126,8 +126,16 @@ def minhash_signatures(
     src = df.select("doc_id", "source", word_hash.alias("wh"))
     return src.mapInArrow(
         _make_sig_udf(num_hashes, shingle),
-        schema="doc_id long, source string, sig array<long>",
+        schema=f"doc_id {_id_type(df)}, source string, sig array<long>",
     )
+
+
+def _id_type(df: DataFrame) -> str:
+    """doc_id's DDL type from the input schema — both signature entry
+    points share the UDF, and a corpus may key docs by long OR string
+    (ADVICE r02: hard-coding either fails the other shape at runtime
+    with an Arrow schema mismatch)."""
+    return df.schema["doc_id"].dataType.simpleString()
 
 
 def minhash_signatures_tokens(
@@ -149,7 +157,7 @@ def minhash_signatures_tokens(
     )
     return src.mapInArrow(
         _make_sig_udf(num_hashes, shingle),
-        schema="doc_id string, source string, sig array<long>",
+        schema=f"doc_id {_id_type(df)}, source string, sig array<long>",
     )
 
 

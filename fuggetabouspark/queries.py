@@ -95,6 +95,8 @@ def seen_within_distributed(
         from .hashing import hash_pair
 
         sks = [(g, sketch_from_bytes(p)) for g, p in bc.value]
+        if not sks:  # no groups for this spec: skip hashing entirely
+            return
         for tbl in iterator:
             keys = tbl.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
             # hash the batch ONCE; every group's filter reuses the pair
