@@ -476,6 +476,49 @@ def q_lineage_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lineage_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-level lineage fidelity (round 3, SURVEY §3.3): a 4-shard
+    resumable build must record, per shard, exact row/token totals and
+    file-level provenance. The entry sums the per-shard meta totals
+    (oracle recomputes them from documents) and checks every shard's
+    recorded input_files equals the actual parquet file set of the
+    source table (hash shards scan every file by construction)."""
+    import json
+    import shutil
+    import tempfile
+
+    from fuggetabouspark.params import HLLParams
+    from fuggetabouspark.pipeline import SketchSpec
+    from fuggetabouspark.state import build_resumable
+
+    corpus = _corpus(spark, sf_dir)
+    ck = tempfile.mkdtemp(prefix="fgs_lineage_files_")
+    try:
+        build_resumable(
+            spark, corpus, [SketchSpec("h", "hll", HLLParams(p=10), "tokens")],
+            ck, n_shards=4, tick_col=F.col("tick"), partitions=4,
+        )
+        metas = [
+            json.loads(r["meta"])
+            for r in spark.read.parquet(f"{ck}/lineage").collect()
+        ]
+    finally:
+        shutil.rmtree(ck, ignore_errors=True)
+    expected = set(spark.read.parquet(f"{sf_dir}/documents.parquet").inputFiles())
+    files_ok = bool(expected) and all(
+        set(m["input_files"]) == expected for m in metas
+    )
+    return spark.createDataFrame(
+        [(
+            len(metas),
+            int(sum(m["n_rows"] for m in metas)),
+            int(sum(m["n_tokens"] for m in metas)),
+            bool(files_ok),
+        )],
+        "n_shards_done long, n_rows_total long, n_tokens_total long, files_ok boolean",
+    )
+
+
 def q_lineage_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact row/token totals carried by the per-partition lineage rows
     of a pipeline build — oracle-checkable ingest accounting (the
@@ -856,6 +899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kll_windowed_quantiles": q_kll_windowed_quantiles,
         "lineage_digest": q_lineage_digest,
         "lineage_totals": q_lineage_totals,
+        "lineage_files": q_lineage_files,
         "distinct_words_per_source": q_distinct_words_per_source,
         "ntok_percentiles": q_ntok_percentiles,
         "events_by_type": q_events_by_type,
@@ -986,6 +1030,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT count(*) AS n_rows, "
             "CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens "
             "FROM documents"
+        ),
+        "lineage_files": (
+            "SELECT CAST(4 AS BIGINT) AS n_shards_done, "
+            "count(*) AS n_rows_total, "
+            "CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens_total, "
+            "TRUE AS files_ok FROM documents"
         ),
         "ntok_percentiles": """
             SELECT source,

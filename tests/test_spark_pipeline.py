@@ -452,3 +452,31 @@ class TestResume:
         assert set(full) == set(resumed)
         for key in full:
             assert full[key].to_bytes() == resumed[key].to_bytes(), f"{key}: resume diverged"
+        # shard-level lineage fidelity (round 3, SURVEY §3.3): per-shard
+        # metas carry exact counts that must sum to the corpus totals,
+        # and the per-shard digests XOR to one corpus-wide ingest digest
+        # identical between the interrupted+resumed and clean runs
+        import json as _json
+
+        def metas(ck):
+            return [
+                _json.loads(r["meta"])
+                for r in spark.read.parquet(f"{ck}/lineage").collect()
+            ]
+
+        m1, m2 = metas(ck1), metas(ck2)
+        n_rows = df.count()
+        n_tokens = int(
+            df.selectExpr("sum(size(tokens)) as t").collect()[0]["t"]
+        )
+        for m in (m1, m2):
+            assert len(m) == 4
+            assert sum(e["n_rows"] for e in m) == n_rows
+            assert sum(e["n_tokens"] for e in m) == n_tokens
+            assert all("input_files" in e for e in m)
+        dig1 = dig2 = 0
+        for e in m1:
+            dig1 ^= e["token_digest"]
+        for e in m2:
+            dig2 ^= e["token_digest"]
+        assert dig1 == dig2 != 0
