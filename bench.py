@@ -114,10 +114,7 @@ def run_headline(cpus: int, sf_dir: str) -> dict:
     # distributed probe of 200k keys against the built per-source TBF
     from fuggetabouspark import queries as Q
 
-    state = spark.createDataFrame(
-        [(s, g, bytearray(sk.to_bytes()), sk.n_items) for (s, g), sk in sks.items() if s == "tbf"],
-        "spec string, group string, payload binary, n_items long",
-    )
+    state = _tbf_state(spark, sks)
     probes = spark.range(200_000).selectExpr("cast(id % 60000 as long) as key")
     t0 = time.time()
     n = Q.seen_within_distributed(spark, state, "tbf", probes, now=1001).count()
@@ -164,6 +161,47 @@ def run_headline(cpus: int, sf_dir: str) -> dict:
         "sf": sf_dir,
         **extras,
     }
+
+
+def _tbf_state(spark, sks):
+    return spark.createDataFrame(
+        [
+            (s, g, bytearray(sk.to_bytes()), sk.n_items)
+            for (s, g), sk in sks.items()
+            if s == "tbf"
+        ],
+        "spec string, group string, payload binary, n_items long",
+    )
+
+
+def probe_scaling(scale: str) -> dict:
+    """Probe-path data scaling (round 3, VERDICT r02 #7): the same
+    distributed membership probe at 1M and 4M keys against the same
+    built per-source TBF state. Throughput (probes/s) must not FALL as
+    the probe set grows — fixed broadcast/launch overhead amortizes, so
+    it should rise — the probe-path analogue of the build's
+    4×-data evidence that per-item cost has no super-linear term."""
+    from fuggetabouspark import queries as Q
+    from fuggetabouspark.pipeline import merge_rows_to_sketches
+    from fuggetabouspark.session import get_spark
+
+    spark = get_spark("fgs-probe-scaling", cpus=32)
+    corpus_path, rows = ensure_corpus(spark, scale)
+    out, _ = build_job(spark, corpus_path, rows, partitions=32)
+    state = _tbf_state(spark, merge_rows_to_sketches(out))
+    # warm the Arrow worker + broadcast once so both measured runs are
+    # steady-state (first probe run is 3-5x cold)
+    warm = spark.range(100_000).selectExpr("cast(id % 60000 as long) as key")
+    Q.seen_within_distributed(spark, state, "tbf", warm, now=1001).count()
+    res = {}
+    for n in (1_000_000, 4_000_000):
+        probes = spark.range(n).selectExpr("cast(id % 60000 as long) as key")
+        t0 = time.time()
+        Q.seen_within_distributed(spark, state, "tbf", probes, now=1001).count()
+        dt = time.time() - t0
+        res[n] = {"sec": round(dt, 2), "probes_per_sec": round(n / dt)}
+    spark.stop()
+    return res
 
 
 def scaling_one(cpus: int, scale: str) -> dict:
@@ -227,6 +265,7 @@ def run_scaling() -> dict:
         "efficiency_1_to_4": round(eff_1_4, 3),
         "efficiency_8_to_32": round(eff_8_32, 3),
         "tokens": n_tokens,
+        "probe": probe_scaling(scale),
     }
 
 
@@ -256,6 +295,18 @@ burns all 32 cores on GC/shuffle/reader threads, flattering low N).
 **Scaling efficiency N=1 → 4N=4 cores: {s['efficiency_1_to_4']}** (target >= 0.8)
 Scaling efficiency N=8 → 4N=32 cores: {s['efficiency_8_to_32']}
 (reproduce the hardware curve: `python tools/dram_probe.py`)
+
+## Probe-path data scaling (same state, 1M → 4M probes, local[32])
+
+| probes | wall sec | probes/s |
+| --- | --- | --- |
+| 1,000,000 | {s['probe'][1_000_000]['sec']} | {s['probe'][1_000_000]['probes_per_sec']:,} |
+| 4,000,000 | {s['probe'][4_000_000]['sec']} | {s['probe'][4_000_000]['probes_per_sec']:,} |
+
+Probe throughput must not fall as the probe set grows 4× (fixed
+broadcast/launch overhead amortizes, so it should RISE) — the
+probe-path analogue of the build job's throughput-rises-with-input
+evidence that per-item cost carries no super-linear term.
 
 Why two pairs: this sandbox is a single machine with one memory
 subsystem. A standalone multiprocessing probe of the engine's hot

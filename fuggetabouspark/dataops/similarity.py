@@ -151,7 +151,7 @@ def ivf_centroids(df: DataFrame, dim: int, n_lists: int = 16, iters: int = 2,
     cents = np.array([np.asarray(r[vec_col], dtype=np.float32) for r in rows])
     for _ in range(iters):
         assigned = _assign_lists(df, cents, vec_col, id_col)
-        sums, cnts = _list_sums(df.join(assigned, id_col), cents.shape, vec_col)
+        sums, cnts = _list_sums(assigned, cents.shape, vec_col)
         nz = cnts > 0
         new = cents.copy()
         new[nz] = (sums[nz] / cnts[nz, None]).astype(np.float32)
@@ -209,6 +209,11 @@ def _list_sums(joined: DataFrame, shape, vec_col: str):
 
 
 def _assign_lists(df: DataFrame, cents: np.ndarray, vec_col: str, id_col: str) -> DataFrame:
+    """Coarse-list assignment as a pure map: like hyperplane_buckets
+    (round-3 fix), the vectors PASS THROUGH the one mapInArrow batch so
+    downstream scoring never joins the assignment back to the vector
+    table — the old `df.join(assigned, id)` shuffled O(N) vector bytes
+    per Lloyd round and per query batch."""
     import pyarrow as pa
 
     dim = cents.shape[1]
@@ -216,19 +221,24 @@ def _assign_lists(df: DataFrame, cents: np.ndarray, vec_col: str, id_col: str) -
 
     def assign(iterator):
         for tbl in iterator:
-            flat = tbl.column(vec_col).flatten().to_numpy(zero_copy_only=False).astype(np.float32)
+            col = tbl.column(vec_col)
+            flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float32)
             mat = flat.reshape(len(tbl), dim)
             mn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-9)
             lists = (mn @ c_norm.T).argmax(axis=1).astype(np.int32)
             yield pa.RecordBatch.from_pydict(
                 {
-                    "vec_id": tbl.column(id_col),
+                    id_col: tbl.column(id_col),
+                    vec_col: col,  # pass-through, zero-copy within the batch
                     "list_id": pa.array(lists, pa.int32()),
-                },
-                schema=pa.schema([("vec_id", pa.int64()), ("list_id", pa.int32())]),
+                }
             )
 
-    return df.mapInArrow(assign, schema=f"{id_col} long, list_id int")
+    src = df.select(id_col, vec_col)
+    ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in src.schema.fields
+    )
+    return src.mapInArrow(assign, schema=f"{ddl}, list_id int")
 
 
 def ivf_topk(
@@ -244,8 +254,7 @@ def ivf_topk(
     from pyspark.sql.window import Window
 
     cents = ivf_centroids(df, dim, n_lists, vec_col=vec_col, id_col=id_col, seed=seed)
-    assigned = _assign_lists(df, cents, vec_col, id_col)
-    indexed = df.join(assigned, id_col)
+    indexed = _assign_lists(df, cents, vec_col, id_col)  # vectors pass through
     q = queries_df.toPandas()
     qmat = np.array([np.asarray(v, dtype=np.float32) for v in q["qvec"]])
     qn = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-9)

@@ -152,6 +152,27 @@ def main():
         "lsh-index",
     ))
 
+    # 6. IVF coarse assignment: same pure-map shape as the LSH index
+    import numpy as np
+
+    from fuggetabouspark.dataops.similarity import _assign_lists
+
+    cents = np.zeros((4, dim), dtype=np.float32)
+    cents[np.arange(4), np.arange(4)] = 1.0
+    p6 = plan_of(_assign_lists(emb, cents, "embedding", "vec_id"))
+    sections.append((
+        "IVF coarse-list assignment (pure map, no vector join)",
+        p6,
+        "List assignment passes the vectors through the one mapInArrow "
+        "pass — no exchange, no join — so neither the Lloyd mean step "
+        "nor query-time probing ever shuffles the embedding table.",
+    ))
+    checks.append((
+        "IVF assignment has zero exchanges and no join (vectors never shuffle)",
+        p6.count("- Exchange") == 0 and "Join" not in p6,
+        "ivf-index",
+    ))
+
     lines = ["# PLANS — physical-plan evidence (auto-generated by tools/explain_plans.py)", ""]
     lines.append("## Checks")
     lines.append("")
