@@ -752,10 +752,19 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("doc_a"),
         (F.col("doc_id") + PLANT_OFFSET).alias("doc_b"),
     )
+    # one job over the candidate set: count candidates and how many are
+    # planted in the same aggregation (recomputing signatures per
+    # action would double the entry's cost)
+    marked = cand.join(
+        F.broadcast(pairs.withColumn("_p", F.lit(1))), ["doc_a", "doc_b"], "left"
+    )
+    row = marked.agg(
+        F.count("*").alias("n_cand"),
+        F.coalesce(F.sum("_p"), F.lit(0)).alias("n_found"),
+    ).collect()[0]
+    n_found, n_cand = int(row["n_found"]), int(row["n_cand"])
     n_planted = pairs.count()
-    n_found = pairs.join(cand, ["doc_a", "doc_b"], "left_semi").count()
     n_docs = corpus.count()
-    n_cand = cand.count()
     not_all_pairs = n_cand < 0.05 * (n_docs * (n_docs - 1) / 2)
     return spark.createDataFrame(
         [(int(n_planted), int(n_found), bool(n_found == n_planted), bool(not_all_pairs))],
