@@ -352,6 +352,10 @@ def connected_components(
             .union(msgs)
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
+            # materialize before the self-join below — the hop reads
+            # this frame twice, and un-checkpointed it would recompute
+            # the propagation aggregation for each side
+            .localCheckpoint()
         )
         # pointer jumping: comp ← comp(comp). Labels are always node
         # ids present in lab (min over seen node ids), so the hop join

@@ -135,3 +135,25 @@ def test_hash64_strings_golden_and_arrow_paths():
     assert hash64_strings(arr.slice(1)).tolist() == golden[("abc", "a", "", "abcdef")]
     assert hash64_strings([]).size == 0
     assert hash64_strings(pa.array([], pa.string())).size == 0
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.text(max_size=40), min_size=0, max_size=50),
+    st.integers(0, 2**31 - 1),
+)
+def test_hash64_strings_arrow_equals_sequence_path(strings, seed):
+    """The Arrow buffer kernel and the legacy sequence path must agree
+    for ARBITRARY unicode strings (incl. empties, surrogide-free
+    astral-plane chars, shared prefixes) at any seed — and slicing an
+    Arrow array must not change any element's hash (offset
+    re-anchoring)."""
+    import pyarrow as pa
+
+    from fuggetabouspark.hashing import hash64_strings
+
+    seq = hash64_strings(strings, seed=seed)
+    arr = pa.array(strings, pa.string())
+    assert hash64_strings(arr, seed=seed).tolist() == seq.tolist()
+    padded = pa.array(["_pad_"] + strings, pa.string())
+    assert hash64_strings(padded.slice(1), seed=seed).tolist() == seq.tolist()
