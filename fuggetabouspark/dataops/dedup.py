@@ -295,7 +295,7 @@ def simhash_buckets(df: DataFrame, text_col: str = "text", band_bits: int = 16) 
                 }
             )
 
-    out = src.mapInArrow(sim, schema="doc_id long, source string, simhash long")
+    out = src.mapInArrow(sim, schema=f"doc_id {_id_type(df)}, source string, simhash long")
     bandcols = [
         F.shiftright("simhash", i * band_bits).bitwiseAND(F.lit((1 << band_bits) - 1)).alias(f"band{i}")
         for i in range(64 // band_bits)

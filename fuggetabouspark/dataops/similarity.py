@@ -20,6 +20,13 @@ from pyspark.sql import functions as F
 from ..hashing import splitmix64
 
 
+def _ddl_of(df: DataFrame) -> str:
+    """DDL string of a frame's schema — shared by the pass-through
+    mapInArrow maps so their declared output types always mirror the
+    input's actual (id, vector) types."""
+    return ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+
+
 def _norm(col):
     return F.sqrt(F.aggregate(col, F.lit(0.0), lambda a, x: a + x * x))
 
@@ -93,10 +100,7 @@ def hyperplane_buckets(
             )
 
     src = df.select(id_col, vec_col)
-    ddl = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in src.schema.fields
-    )
-    bucketed = src.mapInArrow(assign, schema=f"{ddl}, bucket long")
+    bucketed = src.mapInArrow(assign, schema=f"{_ddl_of(src)}, bucket long")
     return bucketed, planes
 
 
@@ -235,10 +239,7 @@ def _assign_lists(df: DataFrame, cents: np.ndarray, vec_col: str, id_col: str) -
             )
 
     src = df.select(id_col, vec_col)
-    ddl = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in src.schema.fields
-    )
-    return src.mapInArrow(assign, schema=f"{ddl}, list_id int")
+    return src.mapInArrow(assign, schema=f"{_ddl_of(src)}, list_id int")
 
 
 def ivf_topk(

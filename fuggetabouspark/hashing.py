@@ -82,7 +82,17 @@ def hash64_strings(keys, seed: int = 0) -> np.ndarray:
         s = pd.Series(keys, dtype="object").astype(str)
         keys = pa.Array.from_pandas(s, type=pa.string())
     elif not (pa.types.is_string(keys.type) or pa.types.is_large_string(keys.type)):
-        keys = keys.cast(pa.string())
+        if pa.types.is_integer(keys.type):
+            keys = keys.cast(pa.string())  # decimal rendering == str(int)
+        else:
+            # other types render differently under Arrow cast than under
+            # Python str() (e.g. bool → 'true' vs 'True'); route them
+            # through the legacy str() path so the hash of a value never
+            # depends on which code path carried it (code-review r03)
+            import pandas as pd
+
+            s = pd.Series(keys.to_pylist(), dtype="object").astype(str)
+            keys = pa.Array.from_pandas(s, type=pa.string())
     if keys.null_count:
         # match str(None) on the legacy sequence path
         keys = keys.fill_null("None")

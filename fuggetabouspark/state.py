@@ -92,31 +92,32 @@ def build_resumable(
             # fanin<=1 means "no split" and must stay that way
             stbf_fanin=(stbf_fanin * n_shards) if stbf_fanin and stbf_fanin > 1 else None,
         ).withColumn("shard", F.lit(shard)).persist()
-        # sketch rows first, lineage row last: a shard is only
-        # "completed" once its state is durable
-        sketch_rows = final.where(F.col("spec") != LINEAGE_SPEC)
-        sketch_rows.write.mode("append").parquet(state_path)
-        # shard-level audit lineage (SURVEY §3.3, round 3): exact
-        # per-shard row/token totals + ingest digest from the cached
-        # build's per-partition lineage rows (no recompute), plus the
-        # file-level provenance of the scan. Hash shards read every
-        # input file (membership is pmod(hash, n_shards)), so
-        # input_files is the full file set per shard — plan metadata,
-        # not an extra data pass; empty for non-file-backed frames.
-        from .pipeline import lineage_from_rows
+        try:
+            # sketch rows first, lineage row last: a shard is only
+            # "completed" once its state is durable
+            sketch_rows = final.where(F.col("spec") != LINEAGE_SPEC)
+            sketch_rows.write.mode("append").parquet(state_path)
+            # shard-level audit lineage (SURVEY §3.3, round 3): exact
+            # per-shard row/token totals + ingest digest from the cached
+            # build's per-partition lineage rows (no recompute), plus
+            # the file-level provenance of the scan. Hash shards read
+            # every input file (membership is pmod(hash, n_shards)), so
+            # input_files is the full file set per shard — plan
+            # metadata, not an extra data pass; empty for
+            # non-file-backed frames.
+            from .pipeline import corpus_digest, lineage_from_rows
 
-        lin = lineage_from_rows(final.where(F.col("spec") == LINEAGE_SPEC).collect())
-        final.unpersist()
-        digest = 0
-        for e in lin:
-            digest ^= e["token_digest"]
+            lin_rows = final.where(F.col("spec") == LINEAGE_SPEC).collect()
+        finally:
+            final.unpersist()
+        lin = lineage_from_rows(lin_rows)
         meta = {
             "shard": shard,
             "n_shards": n_shards,
             "specs": [s.name for s in specs],
             "n_rows": sum(e["n_rows"] for e in lin),
             "n_tokens": sum(e["n_tokens"] for e in lin),
-            "token_digest": digest,
+            "token_digest": corpus_digest(lin_rows),
             "input_files": sorted(sub.inputFiles()),
         }
         spark.createDataFrame(

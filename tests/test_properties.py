@@ -130,6 +130,13 @@ def test_hash64_strings_golden_and_arrow_paths():
     assert hash64_strings(pa.array([123, None], pa.int64())).tolist() == [
         9855492446265715041, 11214512052931077625,
     ]
+    # non-integer, non-string Arrow columns must hash like str(x), not
+    # like Arrow's cast rendering (bool: 'True' vs 'true' — code-review
+    # r03); the sequence and Arrow paths must agree for every type
+    assert (
+        hash64_strings(pa.array([True, False])).tolist()
+        == hash64_strings([True, False]).tolist()
+    )
     # sliced arrays re-anchor the shared offsets buffer
     arr = pa.array(["pad", "abc", "a", "", "abcdef"])
     assert hash64_strings(arr.slice(1)).tolist() == golden[("abc", "a", "", "abcdef")]
