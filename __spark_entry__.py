@@ -621,6 +621,16 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_regex_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex pre-tokenizer counts (round 3): the pattern is
+    restricted to constructs with identical Java-regex/RE2 semantics,
+    so DuckDB's regexp_extract_all recomputes the counts exactly."""
+    from fuggetabouspark.dataops import regex_token_counts
+
+    _ship(spark)
+    return regex_token_counts(_docs(spark, sf_dir)).select("doc_id", "n_bpe_tokens")
+
+
 def q_langid_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fuggetabouspark.dataops import language_id
 
@@ -916,6 +926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_pricing": q_lineitem_pricing,
         "exact_dedup_histogram": q_exact_dedup_histogram,
         "token_counts": q_token_counts,
+        "regex_token_counts": q_regex_token_counts,
         "langid_counts": q_langid_counts,
         "quality_ingredients": q_quality_ingredients,
         "stable_sample": q_stable_sample,
@@ -1079,6 +1090,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_counts": (
             "SELECT doc_id, len(string_split(text, ' ')) AS n_words FROM documents"
+        ),
+        "regex_token_counts": (
+            "SELECT doc_id, CAST(len(regexp_extract_all(text, "
+            "'[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpe_tokens "
+            "FROM documents"
         ),
         "langid_counts": (
             "WITH s AS (SELECT "

@@ -9,6 +9,7 @@ from .textstats import (
     language_id,
     quality_score,
     stable_sample,
+    regex_token_counts,
     token_counts,
     tokenize_words,
 )
@@ -26,6 +27,7 @@ from .similarity import brute_force_topk, embedding_near_dup, ivf_topk, lsh_buck
 __all__ = [
     "tokenize_words",
     "token_counts",
+    "regex_token_counts",
     "language_id",
     "quality_score",
     "stable_sample",

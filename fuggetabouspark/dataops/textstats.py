@@ -43,6 +43,30 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# BPE-style pre-tokenizer pattern (GPT-2-ish word/digit/punct split),
+# restricted to constructs whose semantics are identical in Java regex
+# (Spark) and RE2 (DuckDB) so the oracle reproduces counts exactly:
+# letter runs, single digits (BPE tokenizers split digit strings), and
+# single non-alphanumeric non-space marks.
+BPE_ISH_PATTERN = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+
+
+def regex_token_counts(
+    df: DataFrame, text_col: str = "text", pattern: str = BPE_ISH_PATTERN
+) -> DataFrame:
+    """Pre-tokenizer token counts via regexp_extract_all — the 'token
+    counting (whitespace + BPE-ish regex)' pair from the task brief:
+    token_counts gives the whitespace count, this the regex-split
+    count. Stays JVM-side (regexp_extract_all is a codegen'd Spark SQL
+    function), so it scales like any projection."""
+    toks = F.expr(f"regexp_extract_all({text_col}, '{pattern}', 0)")
+    return df.select(
+        "doc_id",
+        "source",
+        F.size(toks).cast("long").alias("n_bpe_tokens"),
+    )
+
+
 # tiny per-language stopword markers for the n-gram/stopword heuristic;
 # deliberately deterministic and SQL-expressible
 _LANG_MARKERS = {

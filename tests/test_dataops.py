@@ -46,6 +46,32 @@ class TestTextStats:
         )
         assert got == want
 
+    def test_regex_token_counts_match_duckdb(self, spark, docs):
+        """The BPE-ish pre-tokenizer pattern must count identically in
+        Java regex (Spark) and RE2 (DuckDB) — including punctuation and
+        digit splitting, pinned on a handcrafted doc."""
+        from pyspark.sql import Row
+
+        from fuggetabouspark.dataops import regex_token_counts
+        from fuggetabouspark.dataops.textstats import BPE_ISH_PATTERN
+
+        crafted = spark.createDataFrame(
+            [Row(doc_id=999_999, source="x", text="ab12,cd!  e3")]
+        )
+        rows = regex_token_counts(
+            docs.select("doc_id", "source", "text").unionByName(crafted)
+        ).collect()
+        got = {r.doc_id: r.n_bpe_tokens for r in rows}
+        # ab|1|2|,|cd|!|e|3 → 8 tokens
+        assert got[999_999] == 8
+        want = dict(
+            duckdb.sql(
+                f"select doc_id, len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) "
+                f"from '{SF}/documents.parquet'"
+            ).fetchall()
+        )
+        assert {k: v for k, v in got.items() if k != 999_999} == want
+
     def test_quality_deterministic_and_bounded(self, docs):
         rows = quality_score(docs).collect()
         assert all(0.0 <= r.quality <= 1.0 for r in rows)
