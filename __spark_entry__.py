@@ -651,6 +651,52 @@ def q_quality_ingredients(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style quality filter (round 3): per-doc repetition
+    signals (exact word / distinct / max-frequency counts) plus the
+    composite keep verdict — all integer rules, exactly reproducible
+    in SQL."""
+    from fuggetabouspark.dataops import quality_filter
+
+    _ship(spark)
+    return quality_filter(_docs(spark, sf_dir)).select(
+        "doc_id", "n_words", "n_distinct", "max_word_freq", "keep"
+    )
+
+
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub verdict (round 3): plant one email (every 10th doc)
+    and one phone number (every 20th) deterministically, redact, and
+    emit per-doc match counts plus a 'nothing left after redaction'
+    boolean. The oracle recomputes the planted counts from doc_id
+    arithmetic (the base corpus is verified PII-free) and expects
+    clean = TRUE."""
+    from fuggetabouspark.dataops import redact_pii
+    from fuggetabouspark.dataops.textstats import PII_PATTERNS
+
+    _ship(spark)
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    planted = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 10 == 0,
+                F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"), F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 20 == 0, F.lit(" tel 555-123-4567")).otherwise(F.lit("")),
+        ),
+    )
+    red = redact_pii(planted)
+    leftovers = sum(
+        F.size(F.regexp_extract_all("text_redacted", F.lit(p), F.lit(0)))
+        for p in PII_PATTERNS.values()
+    )
+    return red.select(
+        "doc_id", "n_email", "n_phone", (leftovers == 0).alias("clean")
+    )
+
+
 def q_stable_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash sampling, verdict-gated: DuckDB can't compute
     Spark's xxhash64, so the entry emits properties the oracle CAN
@@ -950,6 +996,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_counts": q_langid_counts,
         "quality_ingredients": q_quality_ingredients,
         "stable_sample": q_stable_sample,
+        "repetition_filter": q_repetition_filter,
+        "pii_redaction": q_pii_redaction,
         "word_jaccard_pairs": q_word_jaccard_pairs,
         "dup_clusters": q_dup_clusters,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1133,6 +1181,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT count(*) AS n_total, TRUE AS size_ok, TRUE AS stable_ok, "
             "TRUE AS subset_ok, TRUE AS overlap_ok FROM documents"
         ),
+        "repetition_filter": """
+            WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+            c AS (SELECT doc_id, word, count(*) AS cnt FROM w GROUP BY 1, 2)
+            SELECT doc_id,
+                   CAST(SUM(cnt) AS BIGINT) AS n_words,
+                   CAST(count(*) AS BIGINT) AS n_distinct,
+                   CAST(MAX(cnt) AS BIGINT) AS max_word_freq,
+                   (SUM(cnt) BETWEEN 10 AND 100000
+                    AND MAX(cnt) * 10 <= SUM(cnt)
+                    AND count(*) * 2 >= SUM(cnt)) AS keep
+            FROM c GROUP BY doc_id
+        """,
+        "pii_redaction": """
+            SELECT doc_id,
+                   CAST(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_email,
+                   CAST(CASE WHEN doc_id % 20 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_phone,
+                   TRUE AS clean
+            FROM documents
+        """,
         "word_jaccard_pairs": """
             WITH s AS (SELECT doc_id, source, list_distinct(string_split(text,' ')) AS ws
                        FROM documents)

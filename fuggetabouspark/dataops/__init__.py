@@ -7,7 +7,10 @@ where possible, Arrow-vectorized UDFs where not, never per-row Python.
 from .textstats import (
     doc_fingerprint,
     language_id,
+    quality_filter,
     quality_score,
+    redact_pii,
+    repetition_stats,
     stable_sample,
     regex_token_counts,
     token_counts,
@@ -38,6 +41,9 @@ __all__ = [
     "regex_token_counts",
     "language_id",
     "quality_score",
+    "quality_filter",
+    "repetition_stats",
+    "redact_pii",
     "stable_sample",
     "doc_fingerprint",
     "exact_dedup",

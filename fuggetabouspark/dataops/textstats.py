@@ -67,6 +67,69 @@ def regex_token_counts(
     )
 
 
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals per document: exact word count,
+    distinct-word count, and the most-frequent word's count. One
+    explode + two hash aggregations — both shuffles are on (doc_id,
+    word) / doc_id keys, so the plan partitions by document and scales
+    linearly (no doc's words ever meet another doc's)."""
+    w = df.select(
+        "doc_id", "source", F.explode(F.split(F.col(text_col), " ")).alias("word")
+    )
+    wc = w.groupBy("doc_id", "source", "word").agg(F.count("*").alias("cnt"))
+    return wc.groupBy("doc_id", "source").agg(
+        F.sum("cnt").cast("long").alias("n_words"),
+        F.count("*").cast("long").alias("n_distinct"),
+        F.max("cnt").cast("long").alias("max_word_freq"),
+    )
+
+
+def quality_filter(
+    df: DataFrame, text_col: str = "text",
+    min_words: int = 10, max_words: int = 100_000,
+) -> DataFrame:
+    """Gopher/C4-style keep/drop verdict per document from integer
+    rules only (exactly reproducible by any SQL engine): length window,
+    top-word frequency < 10% (max_word_freq·10 ≤ n_words), distinct
+    ratio ≥ 50% (n_distinct·2 ≥ n_words). Returns the signals plus the
+    composite ``keep`` boolean — callers filter with .where("keep")."""
+    st = repetition_stats(df, text_col)
+    keep = (
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("max_word_freq") * 10 <= F.col("n_words"))
+        & (F.col("n_distinct") * 2 >= F.col("n_words"))
+    )
+    return st.select(
+        "doc_id", "source", "n_words", "n_distinct", "max_word_freq",
+        keep.alias("keep"),
+    )
+
+
+# PII patterns restricted to constructs with identical Java-regex/RE2
+# semantics (the BPE_ISH_PATTERN rule) so oracles reproduce matches
+PII_PATTERNS = {
+    "email": "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+",
+    "phone": "[0-9][0-9][0-9]-[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]",
+}
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """<EMAIL>/<PHONE> redaction + per-kind match counts — the scrub
+    stage of a training-data pipeline. Pure JVM regexp functions
+    (regexp_extract_all / regexp_replace), one projection, no UDFs;
+    adds n_<kind> long columns and text_redacted."""
+    out = df
+    red = F.col(text_col)
+    for name, pat in PII_PATTERNS.items():
+        out = out.withColumn(
+            f"n_{name}",
+            F.size(F.regexp_extract_all(text_col, F.lit(pat), F.lit(0))).cast("long"),
+        )
+        red = F.regexp_replace(red, pat, f"<{name.upper()}>")
+    return out.withColumn("text_redacted", red)
+
+
 # tiny per-language stopword markers for the n-gram/stopword heuristic;
 # deliberately deterministic and SQL-expressible
 _LANG_MARKERS = {

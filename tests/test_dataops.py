@@ -633,3 +633,43 @@ class TestPQ:
         a = {r.vec_id: r.code for r in pq_encode(emb.repartition(2), cbs).collect()}
         b = {r.vec_id: r.code for r in pq_encode(emb.repartition(7), cbs).collect()}
         assert a == b
+
+
+class TestQualityFilterAndPII:
+    def test_quality_filter_rules_handmath(self, spark):
+        """Pin the integer rules on handcrafted docs: too short, too
+        repetitive (top word > 10%), low distinct ratio, and a clean
+        doc that passes all three."""
+        from pyspark.sql import Row
+
+        from fuggetabouspark.dataops import quality_filter
+
+        clean = " ".join(f"w{i}" for i in range(20))          # 20 distinct words
+        short = "a b c"                                        # < 10 words
+        repet = "x " * 5 + " ".join(f"y{i}" for i in range(15))  # x 5/20 = 25%
+        lowdist = " ".join(["a", "b"] * 10)                    # 2 distinct / 20
+        df = spark.createDataFrame(
+            [Row(doc_id=1, source="s", text=clean),
+             Row(doc_id=2, source="s", text=short),
+             Row(doc_id=3, source="s", text=repet.strip()),
+             Row(doc_id=4, source="s", text=lowdist)]
+        )
+        got = {r.doc_id: r.keep for r in quality_filter(df).collect()}
+        assert got == {1: True, 2: False, 3: False, 4: False}
+
+    def test_redact_pii_counts_and_scrubs(self, spark):
+        from pyspark.sql import Row
+
+        from fuggetabouspark.dataops import redact_pii
+
+        df = spark.createDataFrame(
+            [Row(doc_id=1, source="s",
+                 text="mail me at jane.doe+x@sub.example.org or call 555-123-4567 x2"),
+             Row(doc_id=2, source="s", text="no pii here at all")]
+        )
+        rows = {r.doc_id: r for r in redact_pii(df).collect()}
+        assert rows[1].n_email == 1 and rows[1].n_phone == 1
+        assert rows[2].n_email == 0 and rows[2].n_phone == 0
+        assert "<EMAIL>" in rows[1].text_redacted and "<PHONE>" in rows[1].text_redacted
+        assert "@" not in rows[1].text_redacted
+        assert rows[2].text_redacted == rows[2].text
