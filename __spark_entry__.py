@@ -651,6 +651,29 @@ def q_quality_ingredients(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PACK_SEQ_LEN = 256
+PACK_BUCKETS = 8
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing accounting (round 3): pack the input_hint
+    corpus into 256-token training sequences in 8 deterministic
+    doc_id%8 buckets, emit per-bucket (n_seqs, n_tokens_packed,
+    all_len_ok). The oracle recomputes n_seqs = floor(bucket token
+    total / 256) from the raw documents — exact, because packing
+    drops only the per-bucket trailing partial chunk."""
+    from fuggetabouspark.dataops import pack_sequences, packing_accounting
+
+    _ship(spark)
+    corpus = _corpus(spark, sf_dir)
+    packed = pack_sequences(
+        corpus, PACK_SEQ_LEN,
+        bucket_expr=F.col("doc_id").cast("long") % PACK_BUCKETS,
+        n_buckets=PACK_BUCKETS,
+    )
+    return packing_accounting(packed, PACK_SEQ_LEN)
+
+
 def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/C4-style quality filter (round 3): per-doc repetition
     signals (exact word / distinct / max-frequency counts) plus the
@@ -997,6 +1020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_ingredients": q_quality_ingredients,
         "stable_sample": q_stable_sample,
         "repetition_filter": q_repetition_filter,
+        "pack_sequences": q_pack_sequences,
         "pii_redaction": q_pii_redaction,
         "word_jaccard_pairs": q_word_jaccard_pairs,
         "dup_clusters": q_dup_clusters,
@@ -1192,6 +1216,16 @@ def oracle_sql() -> dict[str, str]:
                     AND MAX(cnt) * 10 <= SUM(cnt)
                     AND count(*) * 2 >= SUM(cnt)) AS keep
             FROM c GROUP BY doc_id
+        """,
+        "pack_sequences": f"""
+            WITH b AS (SELECT doc_id % {PACK_BUCKETS} AS bucket,
+                              len(string_split(text, ' ')) AS nt
+                       FROM documents)
+            SELECT bucket,
+                   CAST(SUM(nt) // {PACK_SEQ_LEN} AS BIGINT) AS n_seqs,
+                   CAST((SUM(nt) // {PACK_SEQ_LEN}) * {PACK_SEQ_LEN} AS BIGINT) AS n_tokens_packed,
+                   TRUE AS all_len_ok
+            FROM b GROUP BY bucket
         """,
         "pii_redaction": """
             SELECT doc_id,

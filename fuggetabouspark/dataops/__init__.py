@@ -25,6 +25,7 @@ from .dedup import (
     ngram_jaccard_pairs,
     simhash_buckets,
 )
+from .packing import pack_sequences, packing_accounting
 from .similarity import (
     brute_force_topk,
     embedding_near_dup,
@@ -60,4 +61,6 @@ __all__ = [
     "pq_train",
     "pq_encode",
     "pq_topk",
+    "pack_sequences",
+    "packing_accounting",
 ]

@@ -1,0 +1,99 @@
+"""Sequence packing: tokenized documents → fixed-length training
+sequences (the final assembly step of an LLM data pipeline).
+
+Documents are assigned to deterministic buckets, each bucket's docs are
+concatenated in doc_id order, and the concatenation is cut into
+``seq_len``-token sequences (the trailing partial chunk is dropped, and
+its length reported). Everything about the output is a pure function of
+(corpus, bucket expression, seq_len) — independent of partitioning,
+cluster size, or execution order — so packed corpora are reproducible
+across runs and clusters, and the per-bucket accounting is exactly
+recomputable by a SQL oracle (n_seqs = floor(bucket_tokens / seq_len)).
+
+Scale shape: one shuffle (groupBy bucket), then a columnar
+``applyInArrow`` per bucket (flatten offsets → one reshape — no per-doc
+or per-token Python). A bucket must fit in task memory: size
+``n_buckets`` so corpus_tokens / n_buckets ≈ 10^8 tokens (~1 GB of
+int64) — at 10^12 tokens that is 10^4 buckets, far below the shuffle
+partition counts such a job runs anyway. Packing quality (how little is
+lost to the per-bucket trailing chunk) is independent of bucket count:
+each bucket drops < seq_len tokens.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int,
+    token_col: str = "tokens",
+    id_col: str = "doc_id",
+    bucket_expr: Column | None = None,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """(bucket, seq_idx, tokens array<long> of EXACTLY seq_len) —
+    deterministic greedy packing, doc_id order within bucket.
+
+    ``bucket_expr`` defaults to pmod(xxhash64(id), n_buckets) (uniform);
+    pass e.g. ``F.col("doc_id") % 8`` when a SQL oracle must recompute
+    bucket membership."""
+    import pyarrow as pa
+
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+    b = (
+        bucket_expr
+        if bucket_expr is not None
+        else F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_buckets))
+    )
+    src = df.select(
+        b.cast("long").alias("bucket"),
+        F.col(id_col).alias("_id"),
+        F.coalesce(
+            F.col(token_col).cast("array<long>"), F.array().cast("array<long>")
+        ).alias("_tok"),
+    )
+
+    def pack(tbl: pa.Table) -> pa.Table:
+        # one bucket per call: order by doc_id, flatten, reshape
+        bucket = tbl.column("bucket")[0].as_py() if len(tbl) else 0
+        order = pa.compute.sort_indices(tbl.column("_id"))
+        tok = tbl.column("_tok").take(order).combine_chunks()
+        flat = tok.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        n_seq = flat.size // seq_len
+        body = flat[: n_seq * seq_len]
+        return pa.Table.from_pydict(
+            {
+                "bucket": pa.array(np.full(n_seq, bucket, np.int64)),
+                "seq_idx": pa.array(np.arange(n_seq, dtype=np.int64)),
+                "tokens": pa.ListArray.from_arrays(
+                    pa.array(np.arange(0, (n_seq + 1) * seq_len, seq_len, dtype=np.int32)),
+                    pa.array(body, pa.int64()),
+                ),
+            }
+        )
+
+    return src.groupBy("bucket").applyInArrow(
+        pack, schema="bucket long, seq_idx long, tokens array<long>"
+    )
+
+
+def packing_accounting(packed: DataFrame, seq_len: int) -> DataFrame:
+    """Per-bucket audit of a packed corpus: sequence count, packed
+    token count, and an every-sequence-is-exactly-seq_len verdict —
+    the invariants a SQL oracle can recompute from the raw corpus
+    (n_seqs = floor(bucket_tokens / seq_len))."""
+    return (
+        packed.groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_seqs"),
+            F.sum(F.size("tokens")).cast("long").alias("n_tokens_packed"),
+            (F.sum((F.size("tokens") == seq_len).cast("int")) == F.count("*")).alias(
+                "all_len_ok"
+            ),
+        )
+    )

@@ -673,3 +673,44 @@ class TestQualityFilterAndPII:
         assert "<EMAIL>" in rows[1].text_redacted and "<PHONE>" in rows[1].text_redacted
         assert "@" not in rows[1].text_redacted
         assert rows[2].text_redacted == rows[2].text
+
+
+class TestSequencePacking:
+    def test_handcrafted_packing_exact(self, spark):
+        """Pin the packing semantics exactly: doc_id order within
+        bucket, greedy seq_len cuts, trailing partial dropped, empty
+        buckets emit nothing."""
+        from pyspark.sql import Row
+
+        from fuggetabouspark.dataops import pack_sequences, packing_accounting
+
+        df = spark.createDataFrame(
+            [Row(doc_id=2, tokens=[10, 11, 12, 13]),
+             Row(doc_id=0, tokens=[0, 1, 2, 3, 4, 5]),
+             Row(doc_id=1, tokens=[100, 101, 102])],
+            "doc_id long, tokens array<int>",
+        )
+        packed = pack_sequences(df, seq_len=4, bucket_expr=F.col("doc_id") % 2)
+        rows = sorted((r.bucket, r.seq_idx, tuple(r.tokens)) for r in packed.collect())
+        # bucket 0 = docs 0,2 → [0..5,10..13] → [0,1,2,3],[4,5,10,11]; drop [12,13]
+        # bucket 1 = doc 1 (3 tokens < 4) → nothing
+        assert rows == [(0, 0, (0, 1, 2, 3)), (0, 1, (4, 5, 10, 11))]
+        acct = {r.bucket: (r.n_seqs, r.n_tokens_packed, r.all_len_ok)
+                for r in packing_accounting(packed, 4).collect()}
+        assert acct == {0: (2, 8, True)}
+
+    def test_packing_partition_invariant(self, spark, docs):
+        """The packed corpus is a pure function of (corpus, bucketing,
+        seq_len): repartitioning must reproduce every sequence."""
+        from fuggetabouspark.dataops import pack_sequences
+
+        tok = docs.select(
+            "doc_id", F.transform(F.split("text", " "), lambda w: F.xxhash64(w)).alias("tokens")
+        )
+        def run(d):
+            return sorted(
+                (r.bucket, r.seq_idx, tuple(r.tokens))
+                for r in pack_sequences(d, 64, bucket_expr=F.col("doc_id") % 4).collect()
+            )
+        a, b = run(tok.repartition(2)), run(tok.repartition(7))
+        assert a == b and len(a) > 0
