@@ -1,0 +1,125 @@
+"""End-to-end training-data pipeline demo: how the fuggetabouspark
+operators compose into the standard corpus-preparation flow.
+
+    raw documents
+      → quality filter   (Gopher-style integer rules)
+      → PII redaction    (email/phone scrub)
+      → exact dedup      (keep one per byte-identical group)
+      → near-dup dedup   (MinHash-LSH → Jaccard verify → connected
+                          components → keep cluster minimum)
+      → tokenize         (JVM-side word hashing)
+      → pack sequences   (fixed-length training sequences)
+      → sketch build     (per-source membership/frequency state +
+                          lineage accounting of what survived)
+
+Run:  python examples/training_data_pipeline.py [sf_dir]
+(defaults to /root/testdata/sf0.001; finishes in ~1 min on local[8])
+
+Every stage is a DataFrame→DataFrame function, so the same script is a
+spark-submit job on a real cluster — the stages shuffle on document
+keys only (the quality/PII/tokenize stages are pure projections).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+
+def main(sf_dir: str) -> None:
+    from fuggetabouspark.dataops import (
+        connected_components,
+        exact_dedup,
+        minhash_lsh_candidates,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+        pack_sequences,
+        packing_accounting,
+        quality_filter,
+        redact_pii,
+    )
+    from fuggetabouspark.dataops.textstats import tokens_from_text
+    from fuggetabouspark.params import BloomParams, HLLParams
+    from fuggetabouspark.pipeline import (
+        SketchSpec,
+        build_sketches,
+        lineage_from_rows,
+        merge_rows_to_sketches,
+    )
+    from fuggetabouspark.session import get_spark
+
+    spark = get_spark("training-data-pipeline", cpus=8)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    n0 = docs.count()
+
+    # 1. quality filter: integer keep/drop rules
+    kept_ids = quality_filter(docs).where("keep").select("doc_id")
+    docs = docs.join(kept_ids, "doc_id")
+    n1 = docs.count()
+
+    # 2. PII scrub: redacted text replaces raw text downstream
+    docs = redact_pii(docs).select(
+        "doc_id", "source", F.col("text_redacted").alias("text")
+    )
+
+    # 3. exact dedup: drop all but the smallest doc_id per identical text
+    dup_groups = exact_dedup(docs)
+    losers = dup_groups.select(
+        F.explode(F.expr("slice(doc_ids, 2, size(doc_ids))")).alias("doc_id")
+    )
+    docs = docs.join(losers, "doc_id", "left_anti")
+    n2 = docs.count()
+
+    # 4. near-dup dedup: LSH candidates → exact Jaccard verify →
+    #    transitive clustering → keep each cluster's minimum doc_id
+    sig = minhash_signatures(docs, num_hashes=64)
+    cand = minhash_lsh_candidates(sig, bands=16, rows_per_band=4)
+    verified = ngram_jaccard_pairs(docs, threshold=0.8, candidates=cand)
+    clusters = connected_components(verified.select("doc_a", "doc_b"))
+    near_losers = clusters.where("node != comp").select(F.col("node").alias("doc_id"))
+    docs = docs.join(near_losers, "doc_id", "left_anti")
+    n3 = docs.count()
+
+    # 5. tokenize (JVM-side) + 6. pack into 256-token sequences
+    corpus = docs.select(
+        "doc_id", "source", tokens_from_text().alias("tokens"),
+        F.size(F.split("text", " ")).cast("int").alias("n_tok"),
+    )
+    packed = pack_sequences(
+        corpus, seq_len=256, bucket_expr=F.pmod(F.xxhash64("doc_id"), F.lit(8))
+    )
+    acct = packing_accounting(packed, 256).collect()
+    n_seqs = sum(r["n_seqs"] for r in acct)
+
+    # 7. sketch state over the surviving corpus + lineage accounting
+    rows = build_sketches(
+        corpus,
+        [
+            SketchSpec("member", "cbf", BloomParams(50_000, 0.001), "tokens"),
+            SketchSpec("vocab", "hll", HLLParams(p=14), "tokens"),
+        ],
+        group_cols=("source",),
+        partitions=8,
+    ).collect()
+    sks = merge_rows_to_sketches(rows)
+    lineage = lineage_from_rows(rows)
+    n_tokens = sum(e["n_tokens"] for e in lineage)
+
+    print(f"documents:        {n0}")
+    print(f"after quality:    {n1}")
+    print(f"after exact-dup:  {n2}")
+    print(f"after near-dup:   {n3}")
+    print(f"packed sequences: {n_seqs} x 256 tokens")
+    print(f"tokens sketched:  {n_tokens} ({len(sks)} sketch states, "
+          f"{len(lineage)} lineage rows)")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001")
