@@ -1226,6 +1226,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST((SUM(nt) // {PACK_SEQ_LEN}) * {PACK_SEQ_LEN} AS BIGINT) AS n_tokens_packed,
                    TRUE AS all_len_ok
             FROM b GROUP BY bucket
+            HAVING SUM(nt) >= {PACK_SEQ_LEN}
         """,
         "pii_redaction": """
             SELECT doc_id,

@@ -33,7 +33,6 @@ from pyspark.sql import functions as F
 def main(sf_dir: str) -> None:
     from fuggetabouspark.dataops import (
         connected_components,
-        exact_dedup,
         minhash_lsh_candidates,
         minhash_signatures,
         ngram_jaccard_pairs,
@@ -58,9 +57,11 @@ def main(sf_dir: str) -> None:
     )
     n0 = docs.count()
 
-    # 1. quality filter: integer keep/drop rules
+    # 1. quality filter: integer keep/drop rules. Each surviving-docs
+    # stage is localCheckpoint()ed so the later count()/collect()
+    # actions don't recompute the whole upstream chain.
     kept_ids = quality_filter(docs).where("keep").select("doc_id")
-    docs = docs.join(kept_ids, "doc_id")
+    docs = docs.join(kept_ids, "doc_id").localCheckpoint()
     n1 = docs.count()
 
     # 2. PII scrub: redacted text replaces raw text downstream
@@ -68,12 +69,17 @@ def main(sf_dir: str) -> None:
         "doc_id", "source", F.col("text_redacted").alias("text")
     )
 
-    # 3. exact dedup: drop all but the smallest doc_id per identical text
-    dup_groups = exact_dedup(docs)
-    losers = dup_groups.select(
-        F.explode(F.expr("slice(doc_ids, 2, size(doc_ids))")).alias("doc_id")
+    # 3. exact dedup: keep the smallest doc_id per byte-identical text.
+    # At scale this is one min-aggregation + semi-join (bounded state
+    # for ANY group size — never materialize a duplicate group's id
+    # list); exact_dedup() is the audit view of the same groups.
+    winners = (
+        docs.select(F.xxhash64("text").alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
     )
-    docs = docs.join(losers, "doc_id", "left_anti")
+    docs = docs.join(winners, "doc_id", "left_semi").localCheckpoint()
     n2 = docs.count()
 
     # 4. near-dup dedup: LSH candidates → exact Jaccard verify →
@@ -83,7 +89,7 @@ def main(sf_dir: str) -> None:
     verified = ngram_jaccard_pairs(docs, threshold=0.8, candidates=cand)
     clusters = connected_components(verified.select("doc_a", "doc_b"))
     near_losers = clusters.where("node != comp").select(F.col("node").alias("doc_id"))
-    docs = docs.join(near_losers, "doc_id", "left_anti")
+    docs = docs.join(near_losers, "doc_id", "left_anti").localCheckpoint()
     n3 = docs.count()
 
     # 5. tokenize (JVM-side) + 6. pack into 256-token sequences

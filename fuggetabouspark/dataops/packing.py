@@ -65,6 +65,11 @@ def pack_sequences(
         tok = tbl.column("_tok").take(order).combine_chunks()
         flat = tok.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
         n_seq = flat.size // seq_len
+        if n_seq * seq_len > (1 << 31) - 1:
+            raise ValueError(
+                f"bucket packs {n_seq * seq_len} tokens, beyond int32 list "
+                "offsets — raise n_buckets so each bucket stays under 2^31 tokens"
+            )
         body = flat[: n_seq * seq_len]
         return pa.Table.from_pydict(
             {

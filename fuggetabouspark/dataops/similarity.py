@@ -416,16 +416,32 @@ def pq_topk(
             for j in range(m):
                 s += T[j][:, codes[:, j]]
             cos = s / np.maximum(np.sqrt(n2), 1e-9)[None, :]
-            vid = tbl.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            # per-batch shortlist: emit only each query's top candidates
+            # from THIS batch — the downstream window then sorts
+            # nq × shortlist × n_batches rows instead of nq × N (the
+            # single-task-funnel shape round 3 removed from exact_dedup;
+            # batch-top-k ⊇ global-top-k, so the result is identical)
+            r = min(shortlist, n)
+            if r < n:
+                part = np.argpartition(-cos, r - 1, axis=1)[:, :r]  # (nq, r)
+            else:
+                part = np.tile(np.arange(n), (nq, 1))
+            flat_idx = part.ravel()
             yield pa.RecordBatch.from_pydict(
                 {
-                    "query_id": pa.array(np.repeat(qids, n), pa.int64()),
-                    "vec_id": pa.array(np.tile(vid, nq), pa.int64()),
-                    "cos_hat": pa.array(cos.ravel(), pa.float64()),
+                    "query_id": pa.array(np.repeat(qids, part.shape[1]), pa.int64()),
+                    "vec_id": tbl.column(id_col).take(pa.array(flat_idx, pa.int32())),
+                    "cos_hat": pa.array(
+                        cos[np.repeat(np.arange(nq), part.shape[1]), flat_idx],
+                        pa.float64(),
+                    ),
                 }
             )
 
-    scored = codes_df.mapInArrow(score, schema="query_id long, vec_id long, cos_hat double")
+    id_ddl = df.schema[id_col].dataType.simpleString()
+    scored = codes_df.mapInArrow(
+        score, schema=f"query_id long, vec_id {id_ddl}, cos_hat double"
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_hat").desc(), F.col("vec_id"))
     short = (
         scored.withColumn("_r", F.row_number().over(w))

@@ -58,8 +58,10 @@ def regex_token_counts(
     counting (whitespace + BPE-ish regex)' pair from the task brief:
     token_counts gives the whitespace count, this the regex-split
     count. Stays JVM-side (regexp_extract_all is a codegen'd Spark SQL
-    function), so it scales like any projection."""
-    toks = F.expr(f"regexp_extract_all({text_col}, '{pattern}', 0)")
+    function), so it scales like any projection. The pattern is passed
+    as a literal Column (never f-string-interpolated into SQL), so
+    quotes/backslashes in custom patterns are used verbatim."""
+    toks = F.regexp_extract_all(text_col, F.lit(pattern), F.lit(0))
     return df.select(
         "doc_id",
         "source",
