@@ -142,6 +142,20 @@ def run_headline(cpus: int, sf_dir: str) -> dict:
     q["minhash_sigs_200k_docs"] = round(time.time() - t0, 3)
     extras["minhash_docs_per_sec"] = round(n_sigs / q["minhash_sigs_200k_docs"])
 
+    # sequence packing at corpus scale: 2048-token training sequences
+    # from the same pre-tokenized corpus (scan → one bucket shuffle →
+    # columnar reshape)
+    from fuggetabouspark.dataops import pack_sequences, packing_accounting
+
+    t0 = time.time()
+    acct = packing_accounting(
+        pack_sequences(mdf, 2048, n_buckets=64), 2048
+    ).collect()
+    q["pack_200k_docs"] = round(time.time() - t0, 3)
+    packed_tokens = sum(r["n_tokens_packed"] for r in acct)
+    extras["packed_tokens"] = packed_tokens
+    extras["pack_tokens_per_sec"] = round(packed_tokens / q["pack_200k_docs"])
+
     # sf-dir queries (driver testdata)
     import __spark_entry__ as entrymod
 
