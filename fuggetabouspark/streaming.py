@@ -199,14 +199,31 @@ def stateful_stream_build(
             )
             tok_ticks = np.repeat(ticks, counts)
             n_items += len(pdf)
+            # same hot-path kernels as the batch pipeline (round 3):
+            # dedup the token batch to (uniq, max-tick, count) — bit-
+            # identical results, ~10× fewer keys through the scatter
+            # kernels on Zipf streams — and hash each key once for all
+            # Bloom-family sketches. _apply_update keeps n_items at the
+            # RAW count, preserving batch-build byte-equality.
+            from .hashing import hash_pair
+            from .pipeline import _apply_update, _dedup_tokens
+
+            uniq, max_tick, tok_counts, raw_n = _dedup_tokens(flat, tok_ticks)
+            need_pair = any(
+                s.value == "tokens" and s.kind in ("cbf", "tbf", "stbf", "hll")
+                for s in spec_list
+            )
+            pair = hash_pair(uniq) if need_pair else None
             for spec, sk in zip(spec_list, sketches):
                 if spec.value == "tokens":
-                    if spec.kind in ("tbf", "stbf"):
-                        sk.add_batch(flat, tok_ticks)
-                    else:
-                        sk.add_batch(flat)
+                    _apply_update(
+                        sk, spec, uniq, max_tick,
+                        pair=pair, weights=tok_counts, raw_n=raw_n,
+                    )
                 elif spec.value == "n_tok":
-                    sk.add_batch(pdf["n_tok"].to_numpy().astype("float64"))
+                    _apply_update(
+                        sk, spec, pdf["n_tok"].to_numpy().astype("float64"), ticks
+                    )
                 else:
                     raise ValueError(
                         f"stateful_stream_build supports value streams 'tokens'/'n_tok', got {spec.value!r}"
