@@ -714,3 +714,20 @@ class TestSequencePacking:
             )
         a, b = run(tok.repartition(2)), run(tok.repartition(7))
         assert a == b and len(a) > 0
+
+
+class TestNewOpGuards:
+    def test_pack_rejects_nonpositive_seq_len(self, spark):
+        from fuggetabouspark.dataops import pack_sequences
+
+        df = spark.createDataFrame([(1, [1, 2])], "doc_id long, tokens array<int>")
+        with pytest.raises(ValueError, match="seq_len"):
+            pack_sequences(df, 0)
+
+    def test_pq_rejects_bad_geometry(self, spark, emb):
+        from fuggetabouspark.dataops import pq_train
+
+        with pytest.raises(ValueError, match="not divisible"):
+            pq_train(emb, dim=64, m=7)
+        with pytest.raises(ValueError, match="uint8"):
+            pq_train(emb, dim=64, m=16, ksub=512)
