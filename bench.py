@@ -224,7 +224,7 @@ def probe_scaling(scale: str) -> dict:
     # steady-state (first probe run is 3-5x cold)
     warm = spark.range(100_000).selectExpr("cast(id % 60000 as long) as key")
     Q.seen_within_distributed(spark, state, "tbf", warm, now=1001).count()
-    reps = max(int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "1")), 1)
+    reps = max(int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3")), 1)
     res = {}
     for n in (1_000_000, 4_000_000):
         probes = spark.range(n).selectExpr("cast(id % 60000 as long) as key")
@@ -297,7 +297,7 @@ def run_scaling() -> dict:
     # single sample can land a burst on one level and fabricate an
     # efficiency collapse. The best sample per level is the closest
     # observable to the steal-free machine.
-    reps = max(int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "1")), 1)
+    reps = max(int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3")), 1)
     results = {}
     for cpus in (1, 4, 8, 32):
         cmd = [
