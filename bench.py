@@ -247,20 +247,20 @@ def scaling_one(cpus: int, scale: str) -> dict:
     threads and the comparison flatters low N."""
     from fuggetabouspark.session import get_spark
 
-    from pyspark.sql import functions as F
-
     from fuggetabouspark.pipeline import build_sketches
 
     spark = get_spark(f"fgs-scaling-{cpus}", cpus=cpus, shuffle_partitions=2 * cpus)
     corpus_path, rows = ensure_corpus(spark, scale)
     # warm the WHOLE measured path (scan + Arrow workers + update
-    # kernels + merge) on a small slice: warm-up is a fixed cost, so
-    # leaving it inside the timed window penalizes the faster levels
-    # proportionally more and understates scaling efficiency
+    # kernels + merge) on a small slice — with the SAME plan shape the
+    # timed job runs (storage-aligned, same salt) so plan-specific
+    # setup can't leak into the timed window: warm-up is a fixed cost,
+    # and paying it inside the measurement penalizes the faster levels
+    # proportionally more, understating scaling efficiency
     warm = spark.read.parquet(corpus_path).limit(20_000)
     build_sketches(
         warm, _specs(), group_cols=("source",), tick_col=_tick_col(rows),
-        partitions=max(cpus, 8),
+        partitions=max(cpus, 8), salt_mod=8, align="storage",
     ).collect()
     t0 = time.time()
     _, n_tokens = build_job(spark, corpus_path, rows, partitions=max(cpus, 8))

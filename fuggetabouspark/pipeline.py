@@ -57,6 +57,20 @@ class SketchSpec:
     params: Any
     value: str = "tokens"
 
+    def __post_init__(self):
+        if self.kind in ("tdigest", "kll") and self.value == "tokens":
+            # the token hot path deduplicates each batch to (uniq,
+            # count) before the update — exact for the set/weighted
+            # sketches, but a quantile sketch over the raw token
+            # MULTISET would silently lose duplicates (and quantiles of
+            # hashed token values are meaningless anyway). Quantile
+            # sketches take per-row numeric streams.
+            raise ValueError(
+                f"{self.kind} over value='tokens' is not supported: "
+                "quantile sketches take per-row numeric streams "
+                "(e.g. value='n_tok')"
+            )
+
     def zero(self) -> Sketch:
         return REGISTRY[self.kind].zero(self.params)
 

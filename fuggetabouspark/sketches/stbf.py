@@ -58,6 +58,14 @@ class ScalingTimingBloomFilter(Sketch):
         The batch is chunked by the newest tier's remaining insert
         budget so one huge batch cannot blow a small tier's FPR —
         matching upstream's per-key fill check at batch granularity.
+
+        Accounting note: the OUTER n_items is the raw-item contract
+        (callers like pipeline._apply_update pin it to the raw count
+        under batch dedup); the inner tiers' n_items count what each
+        tier was fed, which depends on batch boundaries by construction
+        (a duplicate key arriving in two batches may hit two tiers).
+        Tier counters are advisory: growth never reads them — it uses
+        the duplicate-insensitive fill-derived distinct estimate below.
         """
         keys = np.asarray(keys)
         if keys.size == 0:

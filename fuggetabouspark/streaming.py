@@ -168,6 +168,11 @@ def stateful_stream_build(
     import pandas as pd
 
     spec_list = list(specs)
+    need_tok = any(s.value == "tokens" for s in spec_list)
+    need_pair = any(
+        s.value == "tokens" and s.kind in ("cbf", "tbf", "stbf", "hll")
+        for s in spec_list
+    )
 
     def update(key, pdf_iter, state):
         source = key[0]
@@ -179,6 +184,9 @@ def stateful_stream_build(
             n_items = 0
         import numpy as np
 
+        from .hashing import hash_pair
+        from .pipeline import _apply_update, _dedup_tokens
+
         for pdf in pdf_iter:
             if not len(pdf):
                 continue
@@ -187,33 +195,31 @@ def stateful_stream_build(
             # lengths/values from its offsets buffer — the same
             # explode-free idiom as the batch path, no per-row Python
             # (ADVICE/VERDICT r01 #8)
-            import pyarrow as pa
-
-            la = pa.array(pdf["tokens"])
-            flat = la.flatten().to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
-            counts = np.diff(la.offsets.to_numpy(zero_copy_only=False).astype(np.int64))
             ticks = (
                 pdf["tick"].to_numpy().astype("int64")
                 if "tick" in pdf.columns
                 else np.ones(len(pdf), dtype=np.int64)
             )
-            tok_ticks = np.repeat(ticks, counts)
             n_items += len(pdf)
-            # same hot-path kernels as the batch pipeline (round 3):
-            # dedup the token batch to (uniq, max-tick, count) — bit-
-            # identical results, ~10× fewer keys through the scatter
-            # kernels on Zipf streams — and hash each key once for all
-            # Bloom-family sketches. _apply_update keeps n_items at the
-            # RAW count, preserving batch-build byte-equality.
-            from .hashing import hash_pair
-            from .pipeline import _apply_update, _dedup_tokens
+            if need_tok:
+                import pyarrow as pa
 
-            uniq, max_tick, tok_counts, raw_n = _dedup_tokens(flat, tok_ticks)
-            need_pair = any(
-                s.value == "tokens" and s.kind in ("cbf", "tbf", "stbf", "hll")
-                for s in spec_list
-            )
-            pair = hash_pair(uniq) if need_pair else None
+                la = pa.array(pdf["tokens"])
+                flat = la.flatten().to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+                counts = np.diff(la.offsets.to_numpy(zero_copy_only=False).astype(np.int64))
+                tok_ticks = np.repeat(ticks, counts)
+                # same hot-path kernels as the batch pipeline (round
+                # 3): dedup the token batch to (uniq, max-tick, count)
+                # — bit-identical results, ~10× fewer keys through the
+                # scatter kernels on Zipf streams — and hash each key
+                # once for all Bloom-family sketches. _apply_update
+                # keeps n_items at the RAW count, preserving
+                # batch-build byte-equality. The whole token block is
+                # skipped when no spec consumes tokens (n_tok-only
+                # streams must not pay the argsort — the profile's
+                # hottest kernel).
+                uniq, max_tick, tok_counts, raw_n = _dedup_tokens(flat, tok_ticks)
+                pair = hash_pair(uniq) if need_pair else None
             for spec, sk in zip(spec_list, sketches):
                 if spec.value == "tokens":
                     _apply_update(

@@ -480,3 +480,16 @@ class TestResume:
         for e in m2:
             dig2 ^= e["token_digest"]
         assert dig1 == dig2 != 0
+
+
+def test_quantile_spec_over_tokens_rejected():
+    """tdigest/kll over value='tokens' must fail at construction: the
+    token hot path deduplicates batches, which would silently drop the
+    multiset a quantile sketch needs (code-review r03)."""
+    from fuggetabouspark.params import KLLParams, TDigestParams
+
+    with pytest.raises(ValueError, match="n_tok"):
+        SketchSpec("t", "tdigest", TDigestParams(100.0), "tokens")
+    with pytest.raises(ValueError, match="n_tok"):
+        SketchSpec("k", "kll", KLLParams(128), "tokens")
+    SketchSpec("ok", "kll", KLLParams(128), "n_tok")  # valid
