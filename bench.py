@@ -343,7 +343,7 @@ executor scaling requirement (no real cluster available). Each level
 runs in its own process pinned with ``taskset -c 0-(n-1)`` so
 "N cores" genuinely means N cores (an unpinned local[2] JVM still
 burns all 32 cores on GC/shuffle/reader threads, flattering low N).
-Figures are the best of {os.environ.get('SPARK_GRAFT_SCALING_REPS', '1')}
+Figures are the best of {max(int(os.environ.get('SPARK_GRAFT_SCALING_REPS', '3')), 1)}
 run(s) per level: the multi-tenant host steals CPU in bursts, and the
 best sample per level is the closest observable to the steal-free
 machine (single samples have fabricated both 0.62 and 0.87 for the

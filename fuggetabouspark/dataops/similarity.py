@@ -149,9 +149,12 @@ def ivf_centroids(df: DataFrame, dim: int, n_lists: int = 16, iters: int = 2,
 
     hashed = df.select(
         id_col, vec_col,
-        F.xxhash64(F.col(id_col) + F.lit(seed)).alias("_h"),
+        # hash (id AS STRING, seed) — NOT id + seed: arithmetic on a
+        # string id casts to NULL, making every sort key tie and the
+        # sample order nondeterministic (ADVICE r03)
+        F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)).alias("_h"),
     )
-    rows = hashed.orderBy("_h").limit(n_lists).collect()
+    rows = hashed.orderBy("_h", F.col(id_col)).limit(n_lists).collect()
     cents = np.array([np.asarray(r[vec_col], dtype=np.float32) for r in rows])
     for _ in range(iters):
         assigned = _assign_lists(df, cents, vec_col, id_col)
@@ -302,7 +305,10 @@ def pq_train(
     dsub = dim // m
     rows = (
         df.select(id_col, vec_col)
-        .orderBy(F.xxhash64(F.col(id_col) + F.lit(seed)))
+        # (id AS STRING, seed) hash — arithmetic on a string id would
+        # yield NULL for every row and a nondeterministic tie-broken
+        # sample, contradicting the determinism contract (ADVICE r03)
+        .orderBy(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)), F.col(id_col))
         .limit(sample)
         .collect()
     )

@@ -32,9 +32,15 @@ def sketch_from_bytes(buf: bytes) -> Sketch:
 
     from .base import decompress_blob
 
+    from .base import MAGIC
+
     raw = decompress_blob(buf)
+    if bytes(raw[:4]) != MAGIC:
+        raise ValueError(f"bad sketch magic {bytes(raw[:4])!r}")
     nlen = struct.unpack_from("<B", raw, 5)[0]
-    name = raw[6 : 6 + nlen].decode()
+    name = raw[6 : 6 + nlen].decode(errors="replace")
+    if name not in REGISTRY:
+        raise ValueError(f"unknown sketch kind {name!r}")
     return REGISTRY[name].from_bytes(raw)
 
 

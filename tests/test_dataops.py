@@ -634,6 +634,26 @@ class TestPQ:
         b = {r.vec_id: r.code for r in pq_encode(emb.repartition(7), cbs).collect()}
         assert a == b
 
+    def test_train_deterministic_with_string_ids(self, spark, emb):
+        """The hash sample must be deterministic for STRING ids too
+        (ADVICE r03: xxhash64(id + seed) cast a string id to NULL,
+        tying every sort key and making codebooks depend on partition
+        order): identical codebooks / IVF centroids across arbitrary
+        repartitionings of a string-keyed table."""
+        from fuggetabouspark.dataops import pq_train
+        from fuggetabouspark.dataops.similarity import ivf_centroids
+
+        s = emb.select(
+            F.concat(F.lit("id_"), F.col("vec_id").cast("string")).alias("vec_id"),
+            "embedding",
+        )
+        a = pq_train(s.repartition(3), dim=64, m=16, ksub=64, sample=100)
+        b = pq_train(s.repartition(11), dim=64, m=16, ksub=64, sample=100)
+        assert np.array_equal(a, b)
+        ca = ivf_centroids(s.repartition(3), dim=64, n_lists=4, iters=1)
+        cb = ivf_centroids(s.repartition(11), dim=64, n_lists=4, iters=1)
+        assert np.array_equal(ca, cb)
+
 
 class TestQualityFilterAndPII:
     def test_quality_filter_rules_handmath(self, spark):

@@ -108,6 +108,27 @@ def test_golden_bytes_stable():
         assert loaded.n_items == sk.n_items
 
 
+def test_corrupt_bytes_raise_value_error():
+    """Corrupt/foreign bytes must fail with a clean ValueError, not a
+    KeyError/struct.error leaking from header parsing (found driving
+    the library surface in round 4: a clobbered magic previously
+    surfaced as ``KeyError: 'e'``)."""
+    import pytest
+
+    from fuggetabouspark.sketches import sketch_from_bytes
+
+    good = build_all()["hll"].to_bytes()
+    with pytest.raises(ValueError, match="magic"):
+        sketch_from_bytes(b"XXXX" + good[4:])
+    # valid magic but unknown sketch name
+    from fuggetabouspark.sketches.base import decompress_blob
+
+    raw = bytearray(decompress_blob(good))
+    raw[6 : 6 + 3] = b"zzz"
+    with pytest.raises(ValueError, match="unknown sketch kind"):
+        sketch_from_bytes(bytes(raw))
+
+
 if __name__ == "__main__":
     import sys
 
