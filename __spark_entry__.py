@@ -886,6 +886,53 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cross-shard dedup verdict (round 4, VERDICT r03 #1):
+    shard A (even doc_ids) is ingested into a fresh checkpoint, then
+    shard B (odd doc_ids + planted clones of every PLANT_MOD-th A doc)
+    is deduped against the checkpointed TBF membership state WITHOUT
+    re-joining shard A. The emitted counts are text-EXACT — sketch hits
+    are ledger-verified, sketch misses are zero-FN proof-of-new — so
+    DuckDB recomputes every one of them from plain text equality:
+    n_hist = B docs whose text appears in A (all planted clones by
+    construction), n_intra = first-occurrence-wins within B, n_ledger =
+    distinct texts across A∪B (one ledger row per first retained fp)."""
+    import shutil
+    import tempfile
+
+    from fuggetabouspark.dataops import incremental_dedup, ledger_df
+    from fuggetabouspark.params import TimingParams
+
+    _ship(spark)
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    shard_a = docs.where(F.col("doc_id") % 2 == 0)
+    clones = shard_a.where(F.col("doc_id") % PLANT_MOD == 0).select(
+        (F.col("doc_id") + PLANT_OFFSET).alias("doc_id"), "text"
+    )
+    shard_b = docs.where(F.col("doc_id") % 2 == 1).unionByName(clones)
+    ck = tempfile.mkdtemp(prefix="fgs_incr_dedup_")
+    # gate-sized sketch: the library default (capacity 2M) is a ~115 MB
+    # tick array — right for a corpus, pure overhead for 500 docs
+    p = TimingParams(capacity=50_000, error=0.001, window_ticks=2**31)
+    try:
+        a_ann = incremental_dedup(spark, shard_a, ck, now=1, params=p, partitions=8)
+        b_ann = incremental_dedup(spark, shard_b, ck, now=2, params=p, partitions=8)
+        row = b_ann.agg(
+            F.count("*").alias("n_b"),
+            F.sum(F.col("is_dup_history").cast("long")).alias("n_hist"),
+            F.sum(F.col("is_dup_intra").cast("long")).alias("n_intra"),
+        ).collect()[0]
+        n_a = a_ann.count()
+        n_ledger = ledger_df(spark, ck).count()
+    finally:
+        shutil.rmtree(ck, ignore_errors=True)
+    n_b, n_hist, n_intra = int(row["n_b"]), int(row["n_hist"] or 0), int(row["n_intra"] or 0)
+    return spark.createDataFrame(
+        [(int(n_a), n_b, n_hist, n_intra, n_b - n_hist - n_intra, int(n_ledger))],
+        "n_a long, n_b long, n_hist long, n_intra long, n_retained_b long, n_ledger long",
+    )
+
+
 def q_ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fuggetabouspark.dataops import brute_force_topk
 
@@ -1026,6 +1073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters": q_dup_clusters,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
+        "incremental_dedup": q_incremental_dedup,
         "ann_topk_cosine": q_ann_topk_cosine,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1276,6 +1324,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN doc_id % {PLANT_MOD} = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_equal,
                    TRUE AS all_equal
             FROM documents
+        """,
+        "incremental_dedup": f"""
+            WITH a AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+            b AS (
+                SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+                UNION ALL
+                SELECT doc_id + {PLANT_OFFSET}, text FROM documents
+                WHERE doc_id % 2 = 0 AND doc_id % {PLANT_MOD} = 0
+            ),
+            flags AS (
+                SELECT
+                    (text IN (SELECT text FROM a)) AS hist,
+                    -- mirror Spark's string-typed doc_id: first occurrence
+                    -- is the LEXICOGRAPHIC min of CAST(doc_id AS VARCHAR)
+                    (text NOT IN (SELECT text FROM a)
+                     AND CAST(doc_id AS VARCHAR)
+                         != MIN(CAST(doc_id AS VARCHAR)) OVER (PARTITION BY text)
+                    ) AS intra
+                FROM b
+            )
+            SELECT
+                CAST((SELECT count(*) FROM a) AS BIGINT) AS n_a,
+                CAST(count(*) AS BIGINT) AS n_b,
+                CAST(SUM(CASE WHEN hist THEN 1 ELSE 0 END) AS BIGINT) AS n_hist,
+                CAST(SUM(CASE WHEN intra THEN 1 ELSE 0 END) AS BIGINT) AS n_intra,
+                CAST(SUM(CASE WHEN hist OR intra THEN 0 ELSE 1 END) AS BIGINT) AS n_retained_b,
+                CAST((SELECT count(DISTINCT text) FROM (SELECT text FROM a UNION ALL SELECT text FROM b)) AS BIGINT) AS n_ledger
+            FROM flags
         """,
         "embedding_near_dup": """
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b

@@ -7,6 +7,9 @@ operators compose into the standard corpus-preparation flow.
       → exact dedup      (keep one per byte-identical group)
       → near-dup dedup   (MinHash-LSH → Jaccard verify → connected
                           components → keep cluster minimum)
+      → incremental guard (checkpointed decaying membership state;
+                          day-2 shards dedup against history without
+                          re-joining it)
       → tokenize         (JVM-side word hashing)
       → pack sequences   (fixed-length training sequences)
       → sketch build     (per-source membership/frequency state +
@@ -92,6 +95,29 @@ def main(sf_dir: str) -> None:
     docs = docs.join(near_losers, "doc_id", "left_anti").localCheckpoint()
     n3 = docs.count()
 
+    # 4b. incremental ingest guard: checkpoint the surviving corpus's
+    # membership state (decaying TBF + fp ledger), then dedup a
+    # simulated day-2 re-crawl against it — the day-2 shard never
+    # joins day-1 text, it probes the broadcast sketch and verifies
+    # the (tiny) hit set against the 30-byte-per-doc ledger. This is
+    # the stage that makes the pipeline INCREMENTAL at 100 TB: each
+    # new crawl shard pays O(shard), not O(corpus).
+    import shutil
+    import tempfile
+
+    from fuggetabouspark.dataops import incremental_dedup
+    from fuggetabouspark.params import TimingParams
+
+    ck = tempfile.mkdtemp(prefix="fgs_pipeline_dedup_")
+    tp = TimingParams(capacity=200_000, error=0.001, window_ticks=2**31)
+    incremental_dedup(spark, docs, ck, now=1, params=tp, partitions=8)
+    day2 = docs.limit(50).select(
+        (F.col("doc_id") + 10**9).alias("doc_id"), "source", "text"
+    )
+    ann = incremental_dedup(spark, day2, ck, now=2, params=tp, partitions=8)
+    n_blocked = ann.where("is_dup_history").count()
+    shutil.rmtree(ck, ignore_errors=True)
+
     # 5. tokenize (JVM-side) + 6. pack into 256-token sequences
     corpus = docs.select(
         "doc_id", "source", tokens_from_text().alias("tokens"),
@@ -121,6 +147,7 @@ def main(sf_dir: str) -> None:
     print(f"after quality:    {n1}")
     print(f"after exact-dup:  {n2}")
     print(f"after near-dup:   {n3}")
+    print(f"day-2 re-crawl:   {n_blocked}/50 blocked by the checkpointed state")
     print(f"packed sequences: {n_seqs} x 256 tokens")
     print(f"tokens sketched:  {n_tokens} ({len(sks)} sketch states, "
           f"{len(lineage)} lineage rows)")

@@ -25,6 +25,12 @@ from .dedup import (
     ngram_jaccard_pairs,
     simhash_buckets,
 )
+from .incremental import (
+    completed_shards as dedup_completed_shards,
+    incremental_dedup,
+    ledger_df,
+    load_dedup_state,
+)
 from .packing import pack_sequences, packing_accounting
 from .similarity import (
     brute_force_topk,
@@ -63,4 +69,8 @@ __all__ = [
     "pq_topk",
     "pack_sequences",
     "packing_accounting",
+    "incremental_dedup",
+    "load_dedup_state",
+    "ledger_df",
+    "dedup_completed_shards",
 ]

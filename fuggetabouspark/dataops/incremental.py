@@ -1,0 +1,254 @@
+"""Incremental cross-shard dedup — the composition of the library's two
+halves (sketch membership x dedup family; SURVEY.md §2.4 seen_within +
+§3.3 incremental shards, VERDICT r03 "Next round" #1).
+
+The 100 TB workflow this serves: dedup a NEW ingest shard against the
+whole corpus history WITHOUT re-joining history. History is carried by
+two compact artifacts, both tiny relative to the corpus text:
+
+- a decaying membership sketch (TBF/STBF) over 64-bit text
+  fingerprints — megabytes, broadcast to every executor;
+- an append-only fp ledger parquet ``(fp, doc_id, tick, shard)`` —
+  ~30 bytes per RETAINED historical doc.
+
+A new shard's docs probe the broadcast sketch executor-side
+(``queries.seen_within_distributed``): zero false negatives in-window
+means a miss is PROOF the doc is new, so only the hit fraction
+(true dup rate + configured FPR) ever proceeds to exact verification —
+a broadcast join of the (tiny) candidate fp set against the ledger.
+The sketch FPR therefore costs ledger-scan work, never correctness:
+the emitted flags are text-exact, which is what makes this operator
+oracle-gateable with plain SQL (no bound verdicts needed).
+
+Time-decaying semantics (the fuggetaboutit primitive): a historical
+doc only suppresses a new clone while its fingerprint's latest
+RETAINED sighting is within ``window`` ticks, i.e. tick in
+[now - window + 1, now] — matching TimingBloomFilter.contains_batch
+exactly. Once history decays, the next clone survives and re-enters
+both the sketch and the ledger with its own tick.
+
+Scale shape per ingest: one shard-local shuffle (groupBy fp for the
+intra-shard first-occurrence), one broadcast probe map, one
+broadcast-semi-join against the ledger restricted to candidate fps,
+zero joins against corpus text. State grows O(retained docs) in the
+ledger and O(1) in the sketch.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEDUP_SPEC = "dedup_fp"
+LEDGER_DDL = "fp long, doc_id string, tick long, shard int"
+ANNOTATED_DDL = (
+    "doc_id string, fp long, tick long, "
+    "is_dup_history boolean, is_dup_intra boolean, hist_doc_id string"
+)
+
+
+def _paths(checkpoint_dir: str) -> tuple[str, str, str]:
+    return (
+        os.path.join(checkpoint_dir, "sketch_state"),
+        os.path.join(checkpoint_dir, "fp_ledger"),
+        os.path.join(checkpoint_dir, "lineage"),
+    )
+
+
+def load_dedup_state(spark, checkpoint_dir: str):
+    """Merged membership sketch from all completed shards, or None if
+    the checkpoint is empty. Reuses state.load_state's retry-dedupe +
+    monoid merge (O(shards) driver-side rows, payloads are small)."""
+    state_path, _, _ = _paths(checkpoint_dir)
+    if not os.path.exists(state_path):
+        return None
+    from ..state import load_state
+
+    merged = load_state(spark, checkpoint_dir)
+    return merged.get((DEDUP_SPEC, ""))
+
+
+def ledger_df(spark, checkpoint_dir: str) -> DataFrame | None:
+    _, ledger_path, _ = _paths(checkpoint_dir)
+    if not os.path.exists(ledger_path):
+        return None
+    return spark.read.parquet(ledger_path)
+
+
+def completed_shards(spark, checkpoint_dir: str) -> list[dict]:
+    """Lineage metadata of completed ingests, in shard order."""
+    _, _, lineage_path = _paths(checkpoint_dir)
+    if not os.path.exists(lineage_path):
+        return []
+    rows = spark.read.parquet(lineage_path).collect()
+    return sorted((json.loads(r["meta"]) for r in rows), key=lambda m: m["shard"])
+
+
+def incremental_dedup(
+    spark,
+    new_df: DataFrame,
+    checkpoint_dir: str,
+    now: int,
+    window: int | None = None,
+    params=None,
+    text_col: str = "text",
+    tick_col=None,
+    partitions: int | None = None,
+    update_state: bool = True,
+) -> DataFrame:
+    """Dedup ``new_df`` against corpus history AND itself; optionally
+    append the survivors to the history state. Returns the annotated
+    frame (ANNOTATED_DDL), local-checkpointed so the flags are frozen
+    before the state writes (see inline note) and the caller's actions
+    never recompute the probe:
+
+    - ``is_dup_history``: an EARLIER ingest retained a doc with the
+      same text fingerprint whose tick is within the window —
+      text-exact (sketch hits are verified against the ledger, so the
+      sketch's FPR never leaks into the flags; sketch misses are
+      proof-of-new because TBF/STBF have zero in-window false
+      negatives).
+    - ``is_dup_intra``: a same-fingerprint doc with a smaller doc_id
+      exists in THIS shard (and the fp is not a history dup);
+      first-occurrence-wins, ties broken by string doc_id order.
+    - ``hist_doc_id``: for history dups, the retained doc that
+      suppressed this one — the LATEST in-window sighting, tick ties
+      broken by largest doc_id (deterministic).
+
+    ``params``: TimingParams (TBF, default) or ScalingParams (STBF) for
+    the membership sketch. Disjoint-key regime note (pipeline.
+    build_sketches docstring): dedup guarantees each fp enters the
+    sketch exactly once across ALL shards, so for STBF either size
+    capacity for the expected corpus-wide distinct count or cap the
+    expected shard count via params.max_fill_factor yourself.
+    ``window`` narrows the query window below the sketch's configured
+    ``window_ticks`` (never above — queries._with_window semantics).
+    """
+    from ..params import ScalingParams, TimingParams
+    from ..pipeline import SketchSpec, build_sketches
+    from ..queries import _with_window, seen_within_distributed, sk_window
+    from ..state import SHARD_DDL
+
+    if params is None:
+        params = TimingParams(capacity=2_000_000, error=0.001, window_ticks=2**31)
+    kind = "stbf" if isinstance(params, ScalingParams) else "tbf"
+    state_path, ledger_path, lineage_path = _paths(checkpoint_dir)
+
+    fps = new_df.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.xxhash64(F.col(text_col)).alias("fp"),
+        (tick_col if tick_col is not None else F.lit(now)).cast("long").alias("tick"),
+    )
+
+    # ---- history probe: broadcast sketch, then exact ledger verify ----
+    sk = load_dedup_state(spark, checkpoint_dir)
+    if sk is not None:
+        w = window if window is not None else sk_window(sk)
+        if w > sk_window(sk):
+            raise ValueError(
+                f"window {w} exceeds the sketch's window_ticks "
+                f"{sk_window(sk)}: older sightings may already be decayed, "
+                "so widening at query time would produce false negatives"
+            )
+        if w != sk_window(sk):
+            sk = _with_window(sk, w)
+        state_df = spark.createDataFrame(
+            [(DEDUP_SPEC, "", bytearray(sk.to_bytes()), int(sk.n_items))],
+            "spec string, group string, payload binary, n_items long",
+        )
+        hits = (
+            seen_within_distributed(
+                spark, state_df, DEDUP_SPEC,
+                fps.select(F.col("fp").alias("key")), now, only_seen=True,
+            )
+            .select(F.col("key").alias("fp"))
+            .distinct()
+        )
+        # candidates are the tiny side: broadcast them INTO the ledger
+        # scan so history is filtered, never shuffled. max(tick) per fp
+        # is the latest retained sighting (re-ingests after decay append
+        # a fresh ledger row); the window filter mirrors
+        # TimingBloomFilter.contains_batch: tick in [now - w + 1, now].
+        verified = (
+            ledger_df(spark, checkpoint_dir)
+            .join(F.broadcast(hits), "fp")
+            .where((F.col("tick") >= F.lit(now - w + 1)) & (F.col("tick") <= F.lit(now)))
+            .groupBy("fp")
+            .agg(F.max(F.struct("tick", "doc_id")).alias("_best"))
+            .select("fp", F.col("_best.doc_id").alias("hist_doc_id"))
+        )
+    else:
+        verified = spark.createDataFrame([], "fp long, hist_doc_id string")
+
+    # ---- intra-shard first occurrence (shard-local shuffle) ----
+    firsts = fps.groupBy("fp").agg(F.min("doc_id").alias("_first_doc"))
+
+    ann = (
+        fps.join(firsts, "fp")
+        .join(F.broadcast(verified), "fp", "left")
+        .select(
+            "doc_id", "fp", "tick",
+            F.col("hist_doc_id").isNotNull().alias("is_dup_history"),
+            (
+                F.col("hist_doc_id").isNull()
+                & (F.col("doc_id") != F.col("_first_doc"))
+            ).alias("is_dup_intra"),
+            "hist_doc_id",
+        )
+    )
+    # localCheckpoint, not persist: the annotated plan READS the ledger
+    # path this function is about to APPEND to, and Spark's cache
+    # manager invalidates-and-recaches any cached plan whose source
+    # path is written — a merely-persisted ann would be silently
+    # recomputed against the post-write ledger, flagging every doc as
+    # a duplicate of itself (observed). Checkpointing truncates the
+    # lineage so the flags are frozen before any state mutation.
+    ann = ann.localCheckpoint(eager=True)
+
+    if update_state:
+        shard = len(completed_shards(spark, checkpoint_dir))
+        survivors = ann.where(~F.col("is_dup_history") & ~F.col("is_dup_intra"))
+        # membership build over the survivors' fps, through the SAME
+        # partial/merge machinery as every other sketch build (tokens
+        # stream = [fp]; per-batch dedup keeps max tick, which for
+        # distinct fps is THE tick)
+        shaped = survivors.select(
+            "doc_id",
+            F.array("fp").alias("tokens"),
+            F.lit(1).alias("n_tok"),
+            "tick",
+        )
+        spec = SketchSpec(DEDUP_SPEC, kind, params, value="tokens")
+        built = build_sketches(
+            shaped, [spec], group_cols=(), tick_col=F.col("tick"),
+            partitions=partitions,
+        ).where(F.col("spec") == DEDUP_SPEC)
+        # durability order mirrors state.build_resumable: sketch rows
+        # first, ledger second, lineage LAST — a shard is only complete
+        # once everything before its lineage row is durable
+        built.withColumn("shard", F.lit(shard)).selectExpr(
+            "spec", "group", "payload", "n_items", "cast(shard as int) shard"
+        ).write.mode("append").parquet(state_path)
+        survivors.select("fp", "doc_id", "tick", F.lit(shard).cast("int").alias("shard")) \
+            .write.mode("append").parquet(ledger_path)
+        counts = ann.agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("is_dup_history").cast("long")).alias("h"),
+            F.sum(F.col("is_dup_intra").cast("long")).alias("i"),
+        ).collect()[0]
+        n_new, n_h, n_i = int(counts["n"]), int(counts["h"] or 0), int(counts["i"] or 0)
+        meta = {
+            "shard": shard,
+            "now": int(now),
+            "n_docs": n_new,
+            "n_dup_history": n_h,
+            "n_dup_intra": n_i,
+            "n_retained": n_new - n_h - n_i,
+        }
+        spark.createDataFrame(
+            [(shard, json.dumps(meta, sort_keys=True))], "shard int, meta string"
+        ).write.mode("append").parquet(lineage_path)
+    return ann
