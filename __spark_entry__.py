@@ -933,6 +933,42 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-passage (substring-level) dedup verdict (round 4,
+    VERDICT r03 #3). A fixed 60-word paragraph is appended to the 8
+    docs with doc_id in {0,5,...,35}; with window=50 stride=1 exactly
+    60-50+1 = 11 interior window fingerprints are shared by ALL 8
+    planted docs (boundary-crossing windows differ per doc — their
+    prefixes are each doc's own text). The entry counts fingerprint
+    groups whose full doc set equals the planted set: any rolling-hash
+    positioning bug, doc-boundary leak, or aggregation miscount breaks
+    the 11. DuckDB recomputes the planted construction from doc_id
+    arithmetic."""
+    from fuggetabouspark.dataops import repeated_passages
+
+    _ship(spark)
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    para = " ".join(f"rp{i}" for i in range(60))
+    planted_cond = (F.col("doc_id") < 40) & (F.col("doc_id") % 5 == 0)
+    corpus = docs.withColumn(
+        "text",
+        F.when(planted_cond, F.concat_ws(" ", F.col("text"), F.lit(para)))
+         .otherwise(F.col("text")),
+    )
+    planted_ids = sorted(str(i) for i in range(0, 40, 5))
+    rp = repeated_passages(corpus, window=50, stride=1, min_docs=2, max_ids=8)
+    n_full = rp.where(
+        (F.col("n_docs") == len(planted_ids))
+        & (F.col("doc_ids") == F.array(*[F.lit(s) for s in planted_ids]))
+    ).count()
+    n_docs = docs.count()
+    n_planted = docs.where(planted_cond).count()
+    return spark.createDataFrame(
+        [(int(n_docs), int(n_planted), int(n_full), bool(n_full == 11))],
+        "n_docs long, n_planted long, n_shared_fps long, all_found boolean",
+    )
+
+
 def q_ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fuggetabouspark.dataops import brute_force_topk
 
@@ -1074,6 +1110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
         "incremental_dedup": q_incremental_dedup,
+        "repeated_passages": q_repeated_passages,
         "ann_topk_cosine": q_ann_topk_cosine,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1323,6 +1360,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN doc_id % {PLANT_MOD} = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_planted,
                    CAST(SUM(CASE WHEN doc_id % {PLANT_MOD} = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_equal,
                    TRUE AS all_equal
+            FROM documents
+        """,
+        "repeated_passages": """
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(CASE WHEN doc_id < 40 AND doc_id % 5 = 0
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_planted,
+                   -- 60-token planted paragraph, window 50, stride 1:
+                   -- 60 - 50 + 1 fully-interior shared windows
+                   CAST(60 - 50 + 1 AS BIGINT) AS n_shared_fps,
+                   TRUE AS all_found
             FROM documents
         """,
         "incremental_dedup": f"""

@@ -23,6 +23,8 @@ from .dedup import (
     minhash_signatures,
     minhash_signatures_tokens,
     ngram_jaccard_pairs,
+    passage_fingerprints,
+    repeated_passages,
     simhash_buckets,
 )
 from .incremental import (
@@ -60,6 +62,8 @@ __all__ = [
     "minhash_lsh_candidates",
     "simhash_buckets",
     "ngram_jaccard_pairs",
+    "passage_fingerprints",
+    "repeated_passages",
     "brute_force_topk",
     "embedding_near_dup",
     "lsh_bucket_topk",

@@ -417,3 +417,147 @@ def ngram_jaccard_pairs(
         pairs.select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
+
+
+# ---- repeated-passage (substring-level) dedup — round 4 ----
+# Whole-doc dedup misses the dominant real-world failure mode: the
+# SAME 50-token passage (boilerplate, license header, quoted article)
+# repeated across otherwise-distinct documents (Lee et al. 2022,
+# "Deduplicating Training Data Makes Language Models Better"). The
+# suffix-array construction in that paper doesn't distribute; the
+# standard scale approximation is windowed token-n-gram fingerprints:
+# fingerprint every ``window``-token span (stride S), group by
+# fingerprint, and any fingerprint hitting >= min_docs distinct docs
+# is a repeated passage with exact doc/position provenance.
+
+_ROLL_R = _U64(0xFF51AFD7ED558CCD)  # odd -> invertible mod 2^64
+_ROLL_R_INV = _U64(pow(0xFF51AFD7ED558CCD, -1, 1 << 64))
+
+
+def _window_fps(flat: np.ndarray, counts: np.ndarray, window: int, stride: int):
+    """Rolling polynomial fingerprint of every window-token span, for
+    ALL docs in a batch in O(tokens) — one pass, no per-doc Python and
+    no O(window) rescan per position (an xxhash64-over-slice JVM
+    formulation would hash window x tokens bytes; at window=50 that is
+    50x this kernel's work).
+
+    fp(i) = mix( sum_{j<window} mix(t[i+j]) * R^j )  computed as
+    (P[i+window] - P[i]) * R^-i with P the prefix sum of mix(t)*R^pos;
+    all arithmetic wraps mod 2^64 (numpy uint64), R odd so R^-1 exists.
+    Spans crossing doc boundaries are computed-then-discarded, the same
+    trick as _batch_shingles. Returns (fp per valid span, position of
+    the span inside its doc, per-doc output offsets)."""
+    n = int(flat.size)
+    counts = np.asarray(counts, dtype=np.int64)
+    v0 = np.maximum(counts - window + 1, 0)
+    v = (v0 + stride - 1) // stride  # strided spans per doc
+    out_off = np.concatenate([np.zeros(1, np.int64), np.cumsum(v)])
+    total = int(out_off[-1])
+    if total == 0:  # every doc shorter than window
+        return np.zeros(0, np.int64), np.zeros(0, np.int64), out_off
+    with np.errstate(over="ignore"):
+        t = splitmix64(flat.view(_U64))
+        pw = np.ones(n + 1, _U64)
+        np.multiply.accumulate(np.full(n, _ROLL_R, _U64), out=pw[1:])
+        pwi = np.ones(n + 1, _U64)
+        np.multiply.accumulate(np.full(n, _ROLL_R_INV, _U64), out=pwi[1:])
+        P = np.zeros(n + 1, _U64)
+        np.cumsum(t * pw[:n], out=P[1:])
+        m = n - window + 1  # candidate starts, incl. cross-doc garbage
+        h = splitmix64((P[window:] - P[:m]) * pwi[:m])
+    starts = np.concatenate([np.zeros(1, np.int64), np.cumsum(counts)])[:-1]
+    pos_in_doc = (
+        np.arange(total, dtype=np.int64) - np.repeat(out_off[:-1], v)
+    ) * stride
+    flat_pos = pos_in_doc + np.repeat(starts, v)
+    return h[flat_pos].view(np.int64), pos_in_doc, out_off
+
+
+def _make_passage_udf(window: int, stride: int):
+    import pyarrow as pa
+
+    def fps(iterator):
+        for tbl in iterator:
+            wh = tbl.column("wh")
+            flat = wh.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+            counts = np.diff(
+                wh.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+            h, pos, off = _window_fps(flat, counts, window, stride)
+            if h.size == 0:
+                continue
+            doc_idx = np.repeat(
+                np.arange(len(counts), dtype=np.int64), np.diff(off)
+            )
+            # per-(doc, fp) distinct rollup INSIDE the batch: a doc's
+            # spans all live in this batch (row alignment), so emitting
+            # one row per distinct fp per doc here is exact and shrinks
+            # the shuffle by the intra-doc repetition factor
+            order = np.lexsort((pos, h, doc_idx))
+            hd, hs, hp = doc_idx[order], h[order], pos[order]
+            new = np.ones(hd.size, bool)
+            new[1:] = (hd[1:] != hd[:-1]) | (hs[1:] != hs[:-1])
+            gstart = np.flatnonzero(new)
+            occ = np.diff(np.append(gstart, hd.size)).astype(np.int32)
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "doc_id": tbl.column("doc_id").take(pa.array(hd[gstart])),
+                    "fp": pa.array(hs[gstart], pa.int64()),
+                    "n_occ": pa.array(occ, pa.int32()),
+                    "first_pos": pa.array(hp[gstart].astype(np.int32), pa.int32()),
+                }
+            )
+
+    return fps
+
+
+def passage_fingerprints(
+    df: DataFrame, text_col: str = "text", window: int = 50, stride: int = 1
+) -> DataFrame:
+    """(doc_id, fp, n_occ, first_pos): one row per DISTINCT
+    window-token fingerprint per doc (n_occ = within-doc repeats,
+    first_pos = earliest token offset). Docs shorter than ``window``
+    emit nothing — whole-doc dedup (exact_dedup/minhash) owns that
+    regime. Scale shape: a projection-only scan into one mapInArrow;
+    output rows <= tokens/stride, shuffled only by downstream groupBys."""
+    word_hash = F.transform(F.split(F.col(text_col), " "), lambda w: F.xxhash64(w))
+    src = df.select("doc_id", word_hash.alias("wh"))
+    return src.mapInArrow(
+        _make_passage_udf(window, stride),
+        schema=f"doc_id {_id_type(df)}, fp long, n_occ int, first_pos int",
+    )
+
+
+def repeated_passages(
+    df: DataFrame,
+    text_col: str = "text",
+    window: int = 50,
+    stride: int = 1,
+    min_docs: int = 2,
+    max_ids: int = 8,
+) -> DataFrame:
+    """(fp, n_docs, n_occ, doc_ids): every window-token passage
+    fingerprint appearing in >= min_docs distinct docs. n_docs is
+    EXACT with a single count (upstream emits one row per (doc, fp)),
+    n_occ sums within-doc repeats, doc_ids is the max_ids smallest ids
+    via the same skew-proof two-level (fp, partition) aggregation as
+    exact_dedup — no Window, per-task state O(partitions x max_ids)."""
+    wf = passage_fingerprints(df, text_col, window, stride)
+    pre = wf.groupBy("fp", F.spark_partition_id().alias("_pid")).agg(
+        F.count("*").alias("_n"),
+        F.sum("n_occ").alias("_occ"),
+        F.slice(
+            F.sort_array(F.collect_list(F.col("doc_id").cast("string"))), 1, max_ids
+        ).alias("_ids"),
+    )
+    return (
+        pre.groupBy("fp")
+        .agg(
+            F.sum("_n").alias("n_docs"),
+            F.sum("_occ").cast("long").alias("n_occ"),
+            F.slice(
+                F.sort_array(F.flatten(F.collect_list("_ids"))), 1, max_ids
+            ).alias("doc_ids"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+    )
