@@ -656,22 +656,30 @@ PACK_BUCKETS = 8
 
 
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sequence packing accounting (round 3): pack the input_hint
-    corpus into 256-token training sequences in 8 deterministic
-    doc_id%8 buckets, emit per-bucket (n_seqs, n_tokens_packed,
-    all_len_ok). The oracle recomputes n_seqs = floor(bucket token
-    total / 256) from the raw documents — exact, because packing
-    drops only the per-bucket trailing partial chunk."""
+    """Sequence packing accounting + PAYLOAD checksum (round 4 — was
+    counts-only): pack word-LENGTH tokens (DuckDB can recompute those;
+    xxhash64 tokens it cannot) into 256-token sequences in 8
+    deterministic doc_id%8 buckets. Besides the round-3 count gates
+    (n_seqs = floor(bucket tokens / 256), exact lengths), the entry
+    now emits a positional checksum — sum of token × (1-based global
+    stream position) over each bucket's kept prefix — so the oracle
+    verifies the right tokens land in the right order, not just the
+    right sequence count. Docs order by LONG doc_id inside a bucket,
+    mirrored by the oracle's row_number ORDER BY doc_id."""
     from fuggetabouspark.dataops import pack_sequences, packing_accounting
 
     _ship(spark)
-    corpus = _corpus(spark, sf_dir)
+    words = F.split(F.col("text"), " ")
+    src = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.transform(words, lambda w: F.length(w).cast("long")).alias("tokens"),
+    )
     packed = pack_sequences(
-        corpus, PACK_SEQ_LEN,
+        src, PACK_SEQ_LEN,
         bucket_expr=F.col("doc_id").cast("long") % PACK_BUCKETS,
         n_buckets=PACK_BUCKETS,
     )
-    return packing_accounting(packed, PACK_SEQ_LEN)
+    return packing_accounting(packed, PACK_SEQ_LEN, checksum=True)
 
 
 def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1303,15 +1311,25 @@ def oracle_sql() -> dict[str, str]:
             FROM c GROUP BY doc_id
         """,
         "pack_sequences": f"""
-            WITH b AS (SELECT doc_id % {PACK_BUCKETS} AS bucket,
-                              len(string_split(text, ' ')) AS nt
-                       FROM documents)
+            WITH t AS (
+                SELECT doc_id % {PACK_BUCKETS} AS bucket, doc_id,
+                       unnest(list_transform(string_split(text, ' '), w -> len(w))) AS tok,
+                       unnest(range(1, len(string_split(text, ' ')) + 1)) AS wpos
+                FROM documents),
+            p AS (
+                SELECT bucket, CAST(tok AS BIGINT) AS tok,
+                       row_number() OVER (PARTITION BY bucket
+                                          ORDER BY doc_id, wpos) AS pos,
+                       count(*) OVER (PARTITION BY bucket) AS n
+                FROM t)
             SELECT bucket,
-                   CAST(SUM(nt) // {PACK_SEQ_LEN} AS BIGINT) AS n_seqs,
-                   CAST((SUM(nt) // {PACK_SEQ_LEN}) * {PACK_SEQ_LEN} AS BIGINT) AS n_tokens_packed,
-                   TRUE AS all_len_ok
-            FROM b GROUP BY bucket
-            HAVING SUM(nt) >= {PACK_SEQ_LEN}
+                   CAST(MAX(n) // {PACK_SEQ_LEN} AS BIGINT) AS n_seqs,
+                   CAST((MAX(n) // {PACK_SEQ_LEN}) * {PACK_SEQ_LEN} AS BIGINT) AS n_tokens_packed,
+                   TRUE AS all_len_ok,
+                   CAST(SUM(CASE WHEN pos <= (n // {PACK_SEQ_LEN}) * {PACK_SEQ_LEN}
+                            THEN tok * pos ELSE 0 END) AS BIGINT) AS checksum
+            FROM p GROUP BY bucket
+            HAVING MAX(n) >= {PACK_SEQ_LEN}
         """,
         "pii_redaction": """
             SELECT doc_id,

@@ -87,18 +87,47 @@ def pack_sequences(
     )
 
 
-def packing_accounting(packed: DataFrame, seq_len: int) -> DataFrame:
+def packing_accounting(
+    packed: DataFrame, seq_len: int, checksum: bool = False
+) -> DataFrame:
     """Per-bucket audit of a packed corpus: sequence count, packed
     token count, and an every-sequence-is-exactly-seq_len verdict —
     the invariants a SQL oracle can recompute from the raw corpus
-    (n_seqs = floor(bucket_tokens / seq_len))."""
-    return (
-        packed.groupBy("bucket")
-        .agg(
-            F.count("*").cast("long").alias("n_seqs"),
-            F.sum(F.size("tokens")).cast("long").alias("n_tokens_packed"),
-            (F.sum((F.size("tokens") == seq_len).cast("int")) == F.count("*")).alias(
-                "all_len_ok"
-            ),
+    (n_seqs = floor(bucket_tokens / seq_len)).
+
+    ``checksum=True`` adds a POSITIONAL payload checksum (round 4,
+    VERDICT r03 #8): sum over the bucket's packed stream of
+    token × (1-based global position), position = seq_idx × seq_len +
+    offset + 1. Computed JVM-side per sequence as
+    seq_idx·L·Σtoken + Σ(token·(i+1)) — no explode — it upgrades the
+    gate from 'right number of sequences' to 'right tokens in the
+    right order': any reorder, drop, or boundary slip shifts some
+    token's position and changes the sum. Exact while
+    Σ token·position < 2^63 (a word-length-token oracle corpus stays
+    far under this; hashed tokens overflow — use count gates there)."""
+    aggs = [
+        F.count("*").cast("long").alias("n_seqs"),
+        F.sum(F.size("tokens")).cast("long").alias("n_tokens_packed"),
+        (F.sum((F.size("tokens") == seq_len).cast("int")) == F.count("*")).alias(
+            "all_len_ok"
+        ),
+    ]
+    if checksum:
+        toksum = F.aggregate(
+            "tokens", F.lit(0).cast("long"), lambda a, x: a + x
         )
-    )
+        posw = F.aggregate(
+            F.zip_with(
+                F.col("tokens"),
+                F.sequence(F.lit(1), F.lit(seq_len)),
+                lambda t, i: t * i.cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        )
+        aggs.append(
+            F.sum(F.col("seq_idx") * seq_len * toksum + posw)
+            .cast("long")
+            .alias("checksum")
+        )
+    return packed.groupBy("bucket").agg(*aggs)

@@ -815,3 +815,125 @@ class TestRepeatedPassages:
         got = passage_fingerprints(df, window=5, stride=2).collect()
         assert all(r.doc_id == 2 for r in got)  # doc 1 too short
         assert sorted(r.first_pos for r in got) == [0, 2, 4]
+
+
+class TestDenseBucketCap:
+    """embedding_near_dup dense-bucket cap (round 4, VERDICT r03 #4):
+    a mode-collapse cluster must not produce a quadratic task, and the
+    cap must be invisible on under-cap buckets."""
+
+    def test_planted_dense_cluster_finishes_star(self, spark):
+        import numpy as np
+
+        from fuggetabouspark.dataops import embedding_near_dup
+
+        rng = np.random.default_rng(3)
+        base = rng.normal(size=16).astype("float32")
+        n = 3000
+        rows = [
+            (i, (base + rng.normal(scale=1e-4, size=16).astype("float32")).tolist())
+            for i in range(n)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        pairs = embedding_near_dup(
+            df, dim=16, threshold=0.999, bits=4, max_bucket=256
+        )
+        got = pairs.collect()
+        # star pairing: O(n) rows, every member pairs with the min-id
+        # representative -> one connected component, never n^2 rows
+        assert len(got) == n - 1
+        assert {r.vec_a for r in got} == {0}
+        assert {r.vec_b for r in got} == set(range(1, n))
+
+    def test_cap_invisible_on_normal_buckets(self, spark, emb):
+        from fuggetabouspark.dataops import embedding_near_dup
+
+        dim = len(emb.select("embedding").first()[0])
+        uncapped = {
+            (r.vec_a, r.vec_b)
+            for r in embedding_near_dup(
+                emb, dim=dim, threshold=0.5, bits=4, max_bucket=None
+            ).collect()
+        }
+        capped = {
+            (r.vec_a, r.vec_b)
+            for r in embedding_near_dup(
+                emb, dim=dim, threshold=0.5, bits=4, max_bucket=10**6
+            ).collect()
+        }
+        assert capped == uncapped
+
+    def test_fine_split_separates_distinct_colliders(self, spark):
+        """Distinct (non-near-dup) vectors crammed into one coarse
+        bucket by low bits must be SPLIT by the fine bits, keeping
+        all-pairs semantics for the true near-dups planted inside."""
+        import numpy as np
+
+        from fuggetabouspark.dataops import embedding_near_dup
+
+        rng = np.random.default_rng(9)
+        # bits=1 -> at most 2 coarse buckets; 600 random vectors force
+        # both far over a cap of 64
+        rows = [(i, rng.normal(size=16).astype("float32").tolist()) for i in range(600)]
+        v = rng.normal(size=16).astype("float32")
+        rows += [(1000, v.tolist()), (1001, (v * 1.0001).tolist())]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        pairs = {
+            (r.vec_a, r.vec_b)
+            for r in embedding_near_dup(
+                df, dim=16, threshold=0.999, bits=1, max_bucket=64, fine_bits=12
+            ).collect()
+        }
+        assert (1000, 1001) in pairs
+
+
+class TestPQQueryChunking:
+    def test_chunked_scoring_identical(self, spark, emb):
+        """The query-axis chunking that bounds the dense score matrix
+        (round 4, VERDICT r03 #6) must be output-invisible: chunk=2
+        (forcing many chunks for 6 queries) and one giant chunk give
+        identical rank-for-rank results."""
+        from fuggetabouspark.dataops import pq_topk
+
+        qs = emb.where(F.col("vec_id") < 6).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+        )
+        kw = dict(dim=64, k=10, m=16, ksub=64, shortlist=48)
+        a = {
+            (r.query_id, r.vec_id, r.rank)
+            for r in pq_topk(emb, qs, query_chunk=2, **kw).collect()
+        }
+        b = {
+            (r.query_id, r.vec_id, r.rank)
+            for r in pq_topk(emb, qs, query_chunk=10**9, **kw).collect()
+        }
+        assert a == b and len({q for q, _, _ in a}) == 6
+
+
+class TestPackingChecksum:
+    def test_positional_checksum_handmath(self, spark):
+        """checksum = sum token*(global 1-based position) over the kept
+        prefix (round 4, VERDICT r03 #8) — pinned by hand arithmetic,
+        and it must CHANGE when two tokens swap (order sensitivity is
+        the whole point of a positional checksum)."""
+        from pyspark.sql import Row
+
+        from fuggetabouspark.dataops import pack_sequences, packing_accounting
+
+        df = spark.createDataFrame(
+            [Row(doc_id=0, tokens=[5, 7, 1, 3]), Row(doc_id=1, tokens=[2, 8])],
+            "doc_id long, tokens array<int>",
+        )
+        packed = pack_sequences(df, seq_len=3, bucket_expr=F.lit(0))
+        # stream: 5 7 1 3 2 8 -> seqs [5,7,1],[3,2,8]; positions 1..6
+        want = 5*1 + 7*2 + 1*3 + 3*4 + 2*5 + 8*6
+        got = packing_accounting(packed, 3, checksum=True).collect()[0]
+        assert (got.n_seqs, got.n_tokens_packed, got.checksum) == (2, 6, want)
+
+        swapped = spark.createDataFrame(
+            [Row(doc_id=0, tokens=[7, 5, 1, 3]), Row(doc_id=1, tokens=[2, 8])],
+            "doc_id long, tokens array<int>",
+        )
+        packed2 = pack_sequences(swapped, seq_len=3, bucket_expr=F.lit(0))
+        got2 = packing_accounting(packed2, 3, checksum=True).collect()[0]
+        assert got2.n_seqs == 2 and got2.checksum != want

@@ -164,3 +164,27 @@ def test_hash64_strings_arrow_equals_sequence_path(strings, seed):
     assert hash64_strings(arr, seed=seed).tolist() == seq.tolist()
     padded = pa.array(["_pad_"] + strings, pa.string())
     assert hash64_strings(padded.slice(1), seed=seed).tolist() == seq.tolist()
+
+
+def test_hash64_strings_length_outlier_bounded():
+    """Length-bucketed sweep (round 4, VERDICT r03 #7): one 100 KB
+    outlier among 4096 short doc_ids must neither change any short
+    string's hash (values are per-string, order-independent) nor force
+    full-batch work per byte column. The timing bound is generous (the
+    work is sum(lens), ~0.5 s measured vs multi-second full-batch
+    sweeps before) — the hard assertions are the value ones."""
+    import time
+
+    import numpy as np
+
+    from fuggetabouspark.hashing import hash64_strings
+
+    ids = [f"doc_{i:07d}" for i in range(4096)]
+    uniform = hash64_strings(np.array(ids, dtype=object))
+    t0 = time.perf_counter()
+    with_outlier = hash64_strings(np.array(ids[:-1] + ["x" * 100_000], dtype=object))
+    elapsed = time.perf_counter() - t0
+    assert (with_outlier[:-1] == uniform[:-1]).all()
+    # the outlier itself must hash like any other string of its content
+    assert with_outlier[-1] == hash64_strings(["x" * 100_000])[0]
+    assert elapsed < 5.0, f"outlier batch took {elapsed:.1f}s — sweep not length-bucketed?"
