@@ -1057,18 +1057,23 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL decode path (round 2): synthesized RIFF/PCM16 payloads are
-    genuinely parsed on executors (pure numpy/struct WAV codec) and
-    audio features extracted per sampled frame. Rows-only: features
-    are floats and SQL can't decode WAV; the codec roundtrip and
-    feature math are pinned in tests/test_dataops.py::TestMultimodal."""
+    """REAL decode path (round 2; PNG added round 4): synthesized
+    RIFF/PCM16 payloads AND real zlib-compressed PNGs are genuinely
+    parsed on executors (pure stdlib/numpy codecs — the PNG path runs
+    chunk walk, inflate, and scanline unfiltering) and features
+    extracted per sampled frame. Rows-only: features are floats and
+    SQL can't decode WAV/PNG; codec roundtrips and feature math are
+    pinned in tests/test_dataops.py (TestMultimodal, TestPNGCodec)."""
     from fuggetabouspark.dataops.multimodal import decode_and_featurize, synthesize_media
 
     _ship(spark)
-    media = synthesize_media(spark, n=32, kind="wav")
-    return decode_and_featurize(media, frames_per_media=2, fake=False).select(
-        "media_id", "frame_idx"
+    wav = synthesize_media(spark, n=32, kind="wav")
+    png = synthesize_media(spark, n=16, kind="png", seed=77)
+    feats = decode_and_featurize(wav, frames_per_media=2, fake=False).unionByName(
+        decode_and_featurize(png, frames_per_media=1, fake=False)
+        .withColumn("frame_idx", F.col("frame_idx") + 1000)  # disjoint key space
     )
+    return feats.select("media_id", "frame_idx")
 
 
 # --------------------------------------------------------------------

@@ -937,3 +937,71 @@ class TestPackingChecksum:
         packed2 = pack_sequences(swapped, seq_len=3, bucket_expr=F.lit(0))
         got2 = packing_accounting(packed2, 3, checksum=True).collect()[0]
         assert got2.n_seqs == 2 and got2.checksum != want
+
+
+class TestPNGCodec:
+    """Real PNG decode (round 4, VERDICT r03 #5): zlib chunk walk +
+    all five scanline unfilters, stdlib+numpy only."""
+
+    def test_roundtrip_exercises_all_filters(self):
+        import numpy as np
+
+        from fuggetabouspark.dataops.multimodal import decode_png, encode_png
+
+        rng = np.random.default_rng(5)
+        # >= 5 rows so the cycling encoder emits every filter type;
+        # gradient + noise makes each filter's arithmetic non-trivial
+        img = (
+            np.linspace(0, 255, 11 * 17 * 3).reshape(11, 17, 3)
+            + rng.integers(0, 64, (11, 17, 3))
+        ).astype(np.uint8)
+        buf = encode_png(img)
+        assert buf[:8] == b"\x89PNG\r\n\x1a\n"
+        back = decode_png(buf)
+        assert back.shape == (11, 17, 3) and (back == img).all()
+        # filter-0-only encoding decodes identically too
+        flat = encode_png(img, cycle_filters=False)
+        assert (decode_png(flat) == img).all()
+        assert flat != buf  # genuinely different filter plans
+
+    def test_corrupt_and_unsupported(self):
+        import numpy as np
+        import pytest
+
+        from fuggetabouspark.dataops.multimodal import decode_png, encode_png
+
+        img = np.zeros((6, 6, 3), np.uint8)
+        buf = encode_png(img)
+        with pytest.raises(ValueError, match="not a PNG"):
+            decode_png(b"JUNK" + buf[4:])
+        # flip IHDR color type to 6 (RGBA): unsupported, clear error
+        bad = bytearray(buf)
+        bad[8 + 8 + 9] = 6
+        with pytest.raises(ValueError, match="truecolor"):
+            decode_png(bytes(bad))
+
+    def test_png_featurize_end_to_end(self, spark):
+        """The Spark path over planted PNGs: synthesize -> decode ->
+        _image_features must equal featurizing the locally-decoded
+        image (same seed => same pixels)."""
+        import numpy as np
+
+        from fuggetabouspark.dataops.multimodal import (
+            _image_features,
+            decode_and_featurize,
+            decode_png,
+            synthesize_media,
+        )
+
+        media = synthesize_media(spark, n=8, kind="png", seed=11)
+        rows = {r.media_id: r for r in media.collect()}
+        feats = {
+            r.media_id: list(r.feature)
+            for r in decode_and_featurize(media, fake=False).collect()
+        }
+        assert set(feats) == set(rows)
+        for mid, row in rows.items():
+            img = decode_png(bytes(row.payload))
+            assert img.shape == (row.height, row.width, 3)
+            want = _image_features(img)
+            assert np.allclose(feats[mid], want, rtol=1e-6)
