@@ -163,6 +163,77 @@ def run_headline(cpus: int, sf_dir: str) -> dict:
     )
     extras["minhash_docs_per_sec"] = round(n_sigs / q["minhash_sigs_200k_docs"])
 
+    # FULL near-dup chain at corpus scale (round 4, VERDICT r03 #2):
+    # signatures → banded LSH candidates → exact token-set Jaccard
+    # verify → connected components, end to end — the wall-clock SHAPE
+    # of the chain, not just per-stage plans. 5% planted clones give
+    # verify/CC real work and a checkable outcome. The verify joins
+    # semi-filter the token table to candidate docs FIRST, so token
+    # arrays only shuffle for the candidate fraction (the 10^12-doc
+    # plan; an unfiltered join would shuffle the whole corpus's arrays).
+    from pyspark.sql import functions as F
+
+    from fuggetabouspark.dataops import connected_components, minhash_lsh_candidates
+
+    def near_dup_chain():
+        # fixture doc_ids are strings: hash-select 5% and tag clones
+        clones = mdf.where(F.pmod(F.xxhash64("doc_id"), F.lit(20)) == 0).withColumn(
+            "doc_id", F.concat(F.col("doc_id").cast("string"), F.lit("_clone"))
+        )
+        corpus2 = mdf.withColumn("doc_id", F.col("doc_id").cast("string")).unionByName(clones)
+        sig = minhash_signatures_tokens(corpus2, num_hashes=64)
+        cand = minhash_lsh_candidates(sig, bands=16, rows_per_band=4)
+        toks = corpus2.select(
+            "doc_id", F.array_distinct(F.col("tokens").cast("array<long>")).alias("ws")
+        )
+        docs_in = cand.select(F.col("doc_a").alias("doc_id")).union(
+            cand.select(F.col("doc_b").alias("doc_id"))
+        ).distinct()
+        toks_c = toks.join(docs_in, "doc_id", "left_semi")
+        pairs = (
+            cand.join(
+                toks_c.select(F.col("doc_id").alias("doc_a"), F.col("ws").alias("wa")),
+                "doc_a",
+            )
+            .join(
+                toks_c.select(F.col("doc_id").alias("doc_b"), F.col("ws").alias("wb")),
+                "doc_b",
+            )
+            .select(
+                "doc_a", "doc_b",
+                (
+                    F.size(F.array_intersect("wa", "wb"))
+                    >= 0.8 * F.size(F.array_union("wa", "wb"))
+                ).alias("ok"),
+            )
+            .localCheckpoint()  # verify once; agg + CC both reuse it
+        )
+        agg = pairs.agg(
+            F.count("*").alias("n_cand"), F.sum(F.col("ok").cast("long")).alias("n_ver")
+        ).collect()[0]
+        cc, rounds = connected_components(
+            pairs.where("ok").select("doc_a", "doc_b"), return_rounds=True
+        )
+        n_nodes, n_clusters = cc.agg(
+            F.count("*"), F.countDistinct("comp")
+        ).collect()[0]
+        n_docs = corpus2.count()
+        return {
+            "chain_docs": n_docs,
+            "chain_candidates": int(agg["n_cand"]),
+            "chain_cand_ratio": round(agg["n_cand"] / (n_docs * (n_docs - 1) / 2), 8),
+            "chain_verified_pairs": int(agg["n_ver"] or 0),
+            "chain_cc_rounds": rounds,
+            "chain_cluster_nodes": int(n_nodes),
+            "chain_clusters": int(n_clusters),
+        }
+
+    q["near_dup_chain_210k_docs"], chain_stats = _best(near_dup_chain)
+    extras.update(chain_stats)
+    extras["chain_docs_per_sec"] = round(
+        chain_stats["chain_docs"] / q["near_dup_chain_210k_docs"]
+    )
+
     # sequence packing at corpus scale: 2048-token training sequences
     # from the same pre-tokenized corpus (scan → one bucket shuffle →
     # columnar reshape)

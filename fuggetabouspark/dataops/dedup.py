@@ -308,7 +308,8 @@ def connected_components(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 25,
-) -> DataFrame:
+    return_rounds: bool = False,
+):
     """(node, component) for every node appearing in ``edges``, where
     component = the minimum node id reachable through the pair graph —
     the duplicate-CLUSTERING step after candidate generation (LSH) and
@@ -332,7 +333,9 @@ def connected_components(
     Converges when no label changes (limit(1).count() on the diff —
     stops at the first changed row; at the fixpoint the hop is the
     identity, so the check is exact); raises if max_iter rounds don't
-    converge rather than returning partial components."""
+    converge rather than returning partial components.
+    ``return_rounds=True`` returns ((node, component) frame, rounds) —
+    the round count is the scaling evidence the chain bench reports."""
     e = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -345,7 +348,7 @@ def connected_components(
         .select("node", F.col("node").alias("comp"))
         .localCheckpoint()
     )
-    for _ in range(max_iter):
+    for rounds in range(1, max_iter + 1):
         msgs = e.join(lab, e.b == lab.node).select(F.col("a").alias("node"), "comp")
         new = (
             lab.select("node", "comp")
@@ -379,7 +382,8 @@ def connected_components(
         )
         lab = new
         if changed == 0:
-            return lab.select("node", "comp")
+            out = lab.select("node", "comp")
+            return (out, rounds) if return_rounds else out
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 
 
