@@ -59,23 +59,47 @@ def _paths(checkpoint_dir: str) -> tuple[str, str, str]:
 
 
 def load_dedup_state(spark, checkpoint_dir: str):
-    """Merged membership sketch from all completed shards, or None if
-    the checkpoint is empty. Reuses state.load_state's retry-dedupe +
-    monoid merge (O(shards) driver-side rows, payloads are small)."""
-    state_path, _, _ = _paths(checkpoint_dir)
-    if not os.path.exists(state_path):
-        return None
-    from ..state import load_state
+    """Merged membership sketch from all COMPLETED shards (those with
+    a durable lineage row), or None if no shard ever completed.
 
-    merged = load_state(spark, checkpoint_dir)
+    Filtering by lineage is what makes the sketch-first / ledger-second
+    / lineage-last write order an actual recovery protocol (code-review
+    r04): an ingest that died between the sketch write and the ledger
+    write leaves orphan sketch rows, and before this fix a
+    missing-ledger checkpoint crashed the probe outright.
+
+    Within the completed shards, ALL rows are merged — deliberately
+    NOT the pick-one-row-per-shard retry dedupe state.load_state uses
+    for additive sketches: a crash-retried ingest reuses the orphan's
+    shard id, and picking one row could keep the orphan and DROP the
+    retry's fingerprints — a false negative, i.e. a silently missed
+    duplicate forever. The membership sketch is a union-only monoid,
+    so over-merging is one-sided safe: an orphan's extra fingerprints
+    only create candidate hits the ledger verification kills, while
+    n_items (advisory here) may double-count."""
+    from ..pipeline import merge_rows_to_sketches
+
+    state_path, _, _ = _paths(checkpoint_dir)
+    done = [int(m["shard"]) for m in completed_shards(spark, checkpoint_dir)]
+    if not done or not os.path.exists(state_path):
+        return None
+    df = spark.read.parquet(state_path).where(F.col("shard").isin(done))
+    merged = merge_rows_to_sketches(df.collect())
     return merged.get((DEDUP_SPEC, ""))
 
 
-def ledger_df(spark, checkpoint_dir: str) -> DataFrame | None:
+def ledger_df(spark, checkpoint_dir: str, completed_only: bool = True) -> DataFrame | None:
+    """The fp ledger, restricted (by default) to completed shards so a
+    half-written ingest's rows are invisible — the same recovery rule
+    as load_dedup_state."""
     _, ledger_path, _ = _paths(checkpoint_dir)
     if not os.path.exists(ledger_path):
         return None
-    return spark.read.parquet(ledger_path)
+    df = spark.read.parquet(ledger_path)
+    if completed_only:
+        done = [int(m["shard"]) for m in completed_shards(spark, checkpoint_dir)]
+        df = df.where(F.col("shard").isin(done))
+    return df
 
 
 def completed_shards(spark, checkpoint_dir: str) -> list[dict]:
@@ -130,7 +154,6 @@ def incremental_dedup(
     from ..params import ScalingParams, TimingParams
     from ..pipeline import SketchSpec, build_sketches
     from ..queries import _with_window, seen_within_distributed, sk_window
-    from ..state import SHARD_DDL
 
     if params is None:
         params = TimingParams(capacity=2_000_000, error=0.001, window_ticks=2**31)
@@ -170,11 +193,16 @@ def incremental_dedup(
         # candidates are the tiny side: broadcast them INTO the ledger
         # scan so history is filtered, never shuffled. max(tick) per fp
         # is the latest retained sighting (re-ingests after decay append
-        # a fresh ledger row); the window filter mirrors
-        # TimingBloomFilter.contains_batch: tick in [now - w + 1, now].
+        # a fresh ledger row — and a crash-retried shard may have
+        # appended its ledger rows twice, which this max collapses);
+        # the window filter mirrors TimingBloomFilter.contains_batch:
+        # tick in [now - w + 1, now]. led is never None here: a
+        # non-None sketch implies a completed shard, whose lineage row
+        # is only written after its ledger append.
+        led = ledger_df(spark, checkpoint_dir)
+        assert led is not None, "completed shard without a ledger directory"
         verified = (
-            ledger_df(spark, checkpoint_dir)
-            .join(F.broadcast(hits), "fp")
+            led.join(F.broadcast(hits), "fp")
             .where((F.col("tick") >= F.lit(now - w + 1)) & (F.col("tick") <= F.lit(now)))
             .groupBy("fp")
             .agg(F.max(F.struct("tick", "doc_id")).alias("_best"))

@@ -191,12 +191,18 @@ def decode_png(buf: bytes) -> np.ndarray:
         raise ValueError("not a PNG buffer")
     pos, w = len(_PNG_SIG), None
     idat = []
+    # truncated/corrupt buffers must fail as ValueError, not leak
+    # struct.error / zlib.error (code-review r04 — the same contract
+    # sketch_from_bytes got this round)
     while pos + 8 <= len(buf):
         (sz,) = struct.unpack_from(">I", buf, pos)
         ctype = buf[pos + 4 : pos + 8]
         data = buf[pos + 8 : pos + 8 + sz]
         if ctype == b"IHDR":
-            w, h, depth, ctype_i, comp, filt, interlace = struct.unpack(">IIBBBBB", data)
+            try:
+                w, h, depth, ctype_i, comp, filt, interlace = struct.unpack(">IIBBBBB", data)
+            except struct.error as e:
+                raise ValueError(f"truncated PNG IHDR: {e}") from e
             if (depth, ctype_i, comp, filt, interlace) != (8, 2, 0, 0, 0):
                 raise ValueError(
                     "only 8-bit truecolor non-interlaced PNG supported, got "
@@ -209,7 +215,10 @@ def decode_png(buf: bytes) -> np.ndarray:
         pos += 12 + sz
     if w is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
-    raw = zlib.decompress(b"".join(idat))
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
     bpp, stride = 3, w * 3
     if len(raw) != h * (1 + stride):
         raise ValueError(f"PNG payload is {len(raw)} bytes, expected {h * (1 + stride)}")
@@ -227,21 +236,27 @@ def decode_png(buf: bytes) -> np.ndarray:
             ).reshape(stride)
         elif ft == 2:  # Up
             recon[r] = cur + prev
-        elif ft == 3:  # Average (left-sequential)
-            row = recon[r]
-            for x in range(stride):
-                left = row[x - bpp] if x >= bpp else 0
-                row[x] = (int(cur[x]) + (int(left) + int(prev[x])) // 2) & 0xFF
-        elif ft == 4:  # Paeth (left-sequential)
-            row = recon[r]
-            for x in range(stride):
-                left = int(row[x - bpp]) if x >= bpp else 0
-                ul = int(prev[x - bpp]) if x >= bpp else 0
-                up = int(prev[x])
-                p = left + up - ul
-                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
-                pred = left if pa <= pb and pa <= pc else (up if pb <= pc else ul)
-                row[x] = (int(cur[x]) + pred) & 0xFF
+        elif ft == 3:  # Average: left-dependency → loop PIXELS, not
+            # bytes — each step is a vectorized 3-lane op (w iterations
+            # per row, 3× fewer than per-byte; the recurrence itself is
+            # irreducible: recon[x] needs recon[x-1] through a floor)
+            row = recon[r].reshape(w, bpp)
+            c2 = cur.reshape(w, bpp).astype(np.uint16)
+            p2 = prev.reshape(w, bpp).astype(np.uint16)
+            left = np.zeros(bpp, np.uint16)
+            for x in range(w):
+                left = (c2[x] + (left + p2[x]) // 2) & 0xFF
+                row[x] = left
+        elif ft == 4:  # Paeth: same left-dependency, same pixel loop
+            row = recon[r].reshape(w, bpp)
+            c2 = cur.reshape(w, bpp)
+            p2 = prev.reshape(w, bpp)
+            left = np.zeros(bpp, np.uint8)
+            ul = np.zeros(bpp, np.uint8)
+            for x in range(w):
+                left = c2[x] + _paeth_pred(left, p2[x], ul)
+                row[x] = left
+                ul = p2[x]
         else:
             raise ValueError(f"unknown PNG filter type {ft}")
     return recon.reshape(h, w, 3)

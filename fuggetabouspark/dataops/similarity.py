@@ -107,7 +107,7 @@ def hyperplane_buckets(
 def embedding_near_dup(
     df: DataFrame, dim: int, threshold: float = 0.95, bits: int = 6,
     vec_col: str = "embedding", id_col: str = "vec_id", seed: int = 7,
-    exact: bool = False, max_bucket: int | None = 4096, fine_bits: int = 12,
+    exact: bool = False, max_bucket: int | None = None, fine_bits: int = 12,
 ) -> DataFrame:
     """Near-duplicate vector pairs by cosine >= threshold.
 
@@ -121,18 +121,27 @@ def embedding_near_dup(
 
     Dense-bucket cap (round 4, VERDICT r03 "what's wrong" #3 — at
     100 TB a mode-collapse embedding cluster WILL hot-spot one
-    bucket): with ``max_bucket`` set, the UDF computes
-    bits + fine_bits hyperplanes in the same single matmul pass, and
+    bucket). OPT-IN (``max_bucket=None`` default keeps the exact
+    bucketed-all-pairs semantics) because it trades recall for bounded
+    task cost; under-cap buckets are pair-for-pair identical to the
+    uncapped plan either way. With ``max_bucket`` set, the UDF
+    computes bits + fine_bits hyperplanes in the same single matmul
+    pass, and
     * a bucket over the cap is re-partitioned by its ``fine_bits``
-      extra sign bits — separates merely-colliding distinct vectors
-      at zero extra scan cost;
-    * a (bucket, fine) cell STILL over the cap is, with certainty, a
-      near-identical cluster no hyperplane can split, so it degrades
-      to STAR pairing: every member verifies against the cell's
-      min-id representative (O(cell) work and rows instead of
-      O(cell²); downstream connected-components clustering sees the
-      same component). Under-cap buckets are pair-for-pair identical
-      to the uncapped plan.
+      extra sign bits. This separates distinct vectors at zero extra
+      scan cost, but it is LOSSY at the threshold boundary: a true
+      pair at angle θ agrees on one extra hyperplane with probability
+      1 - θ/π, so e.g. a cos 0.95 pair (~18°) survives 12 fine bits
+      with probability ≈ 0.9^12 ≈ 0.28. Size ``bits`` so ordinary
+      buckets stay under the cap; the fine split should only ever
+      touch pathological buckets.
+    * a (bucket, fine) cell STILL over the cap — a tight cone of
+      near-identical vectors — degrades to STAR pairing: every member
+      verifies against the cell's min-id representative (O(cell) work
+      instead of O(cell²)). Member-member pairs inside such a cell are
+      not emitted; downstream connected-components clustering still
+      sees one component, which is the dedup use case, but pair-level
+      consumers lose them. If that matters, raise max_bucket instead.
     """
     if exact:
         side = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))

@@ -979,6 +979,14 @@ class TestPNGCodec:
         bad[8 + 8 + 9] = 6
         with pytest.raises(ValueError, match="truecolor"):
             decode_png(bytes(bad))
+        # truncation mid-IHDR and corrupt IDAT must be ValueError too,
+        # never a leaked struct.error/zlib.error (code-review r04)
+        with pytest.raises(ValueError):
+            decode_png(buf[:20])
+        broken = bytearray(buf)
+        broken[8 + 12 + 13 + 12] ^= 0xFF  # first IDAT payload byte
+        with pytest.raises(ValueError):
+            decode_png(bytes(broken))
 
     def test_png_featurize_end_to_end(self, spark):
         """The Spark path over planted PNGs: synthesize -> decode ->

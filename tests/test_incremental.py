@@ -140,3 +140,41 @@ class TestIncrementalDedup:
         assert ledger_df(spark, ck).count() == before
         assert len(dedup_completed_shards(spark, ck)) == 1
         q.unpersist()
+
+    def test_crash_recovery_ignores_incomplete_shard(self, spark, ck):
+        """An ingest that died after writing sketch rows but before its
+        lineage row must be INVISIBLE (code-review r04: orphan sketch
+        rows previously wedged the checkpoint — the sketch claimed fps
+        the ledger couldn't verify, and a missing ledger even crashed
+        the probe). Retrying the shard must then work normally."""
+        import os
+
+        from pyspark.sql import functions as F
+
+        df1 = spark.createDataFrame([(1, "first text")], "doc_id long, text string")
+        incremental_dedup(spark, df1, ck, now=1).unpersist()
+
+        # simulate the crash: orphan shard-1 sketch rows (copied from
+        # shard 0's real rows), NO ledger rows, NO lineage row
+        state = os.path.join(ck, "sketch_state")
+        orphan = spark.read.parquet(state).withColumn("shard", F.lit(1))
+        orphan.write.mode("append").parquet(state)
+
+        df2 = spark.createDataFrame([(2, "second text")], "doc_id long, text string")
+        ann = incremental_dedup(spark, df2, ck, now=2)  # must not crash
+        r = ann.collect()[0]
+        assert r.is_dup_history is False
+        assert len(dedup_completed_shards(spark, ck)) == 2
+        # worst case: the orphan duplicated the 'first text' fp in the
+        # sketch — a clone of doc 1 must STILL be flagged (via shard 0)
+        df3 = spark.createDataFrame([(3, "first text")], "doc_id long, text string")
+        ann3 = incremental_dedup(spark, df3, ck, now=3)
+        assert ann3.collect()[0].is_dup_history is True
+        # AND the retry shard's own fp must not be lost to the shard-id
+        # collision with the orphan rows (merge-all, never pick-one: a
+        # dropped fp would be a silently missed duplicate forever)
+        df4 = spark.createDataFrame([(4, "second text")], "doc_id long, text string")
+        ann4 = incremental_dedup(spark, df4, ck, now=4)
+        assert ann4.collect()[0].is_dup_history is True
+        for x in (ann, ann3, ann4):
+            x.unpersist()
