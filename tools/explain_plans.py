@@ -193,6 +193,67 @@ def main():
         "pq-encode",
     ))
 
+    # 8. repeated-passage fingerprints: pure map; the repeat grouping
+    # is the two-level skew-proof aggregation (2 exchanges, no Window)
+    from fuggetabouspark.dataops import passage_fingerprints, repeated_passages
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    p8 = plan_of(passage_fingerprints(docs, window=50))
+    sections.append((
+        "passage fingerprints (rolling window fps, pure map)",
+        p8,
+        "The O(tokens) rolling-fingerprint kernel is one mapInArrow "
+        "over the scan — no exchange, no join; per-(doc, fp) rollup "
+        "happens inside the batch so the downstream shuffle carries "
+        "one row per distinct fp per doc, not per span.",
+    ))
+    checks.append((
+        "passage fingerprint kernel has zero exchanges and no join",
+        p8.count("- Exchange") == 0 and "Join" not in p8,
+        "passage-fp",
+    ))
+    p9 = plan_of(repeated_passages(docs, window=50))
+    sections.append((
+        "repeated passages (two-level bounded aggregation)",
+        p9,
+        "Grouping by fingerprint uses the same skew-proof two-level "
+        "(fp, partition) aggregation as exact_dedup: two exchanges, "
+        "no Window, per-task state O(partitions × max_ids).",
+    ))
+    checks.append((
+        "repeated_passages: 2 exchanges, no Window",
+        p9.count("- Exchange") == 2 and "Window" not in p9,
+        "passages",
+    ))
+
+    # 9. incremental-dedup ledger verify: candidate fps broadcast INTO
+    # the ledger scan — BroadcastHashJoin, never a sort-merge shuffle
+    # of history
+    cand = spark.range(8).select(F.col("id").alias("fp"))
+    ledger = docs.select(
+        F.xxhash64("text").alias("fp"),
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.lit(1).cast("long").alias("tick"),
+    )
+    verify = (
+        ledger.join(F.broadcast(cand), "fp")
+        .groupBy("fp")
+        .agg(F.max(F.struct("tick", "doc_id")).alias("_b"))
+    )
+    p10 = plan_of(verify)
+    sections.append((
+        "incremental-dedup ledger verify (broadcast candidates into history)",
+        p10,
+        "Sketch hits (tiny) broadcast into the fp-ledger scan: the "
+        "100 TB history is filtered in place, never shuffled — the "
+        "property that makes per-shard ingest O(shard), not O(corpus).",
+    ))
+    checks.append((
+        "incremental verify is a BroadcastHashJoin (history never shuffles)",
+        "BroadcastHashJoin" in p10 and "SortMergeJoin" not in p10,
+        "incremental",
+    ))
+
     lines = ["# PLANS — physical-plan evidence (auto-generated by tools/explain_plans.py)", ""]
     lines.append("## Checks")
     lines.append("")
