@@ -977,6 +977,49 @@ def q_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mask_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-REMOVAL verdict (round 4): same planted construction as
+    repeated_passages (60-word 'rp*' paragraph appended to the 8 docs
+    doc_id ∈ {0,5,...,35}), then mask_repeated_passages must leave the
+    paragraph in EXACTLY ONE doc — the (min doc_id, min pos) keeper,
+    doc 0 — and strip every rp-token from the other seven, leaving
+    60 rp tokens corpus-wide. The rp-words are unique to the plant, so
+    natural repeats in the base corpus can't perturb these counts;
+    DuckDB recomputes them from the construction arithmetic."""
+    from fuggetabouspark.dataops import mask_repeated_passages
+
+    _ship(spark)
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    para = " ".join(f"rp{i}" for i in range(60))
+    planted_cond = (F.col("doc_id") < 40) & (F.col("doc_id") % 5 == 0)
+    corpus = docs.withColumn(
+        "text",
+        F.when(planted_cond, F.concat_ws(" ", F.col("text"), F.lit(para)))
+         .otherwise(F.col("text")),
+    )
+    clean = mask_repeated_passages(corpus, window=50, stride=1, min_docs=2)
+    rp_words = F.filter(
+        F.split("text_clean", " "), lambda w: w.rlike("^rp[0-9]+$")
+    )
+    row = clean.agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.size(rp_words) > 0).cast("long")).alias("docs_with_rp"),
+        F.sum(F.size(rp_words)).alias("rp_tokens"),
+        F.sum(
+            ((F.col("doc_id") == 0) & (F.size(rp_words) == 60)).cast("long")
+        ).alias("keeper_intact"),
+    ).collect()[0]
+    return spark.createDataFrame(
+        [(
+            int(row["n_docs"]),
+            int(row["docs_with_rp"] or 0),
+            int(row["rp_tokens"] or 0),
+            bool(row["keeper_intact"] == 1),
+        )],
+        "n_docs long, docs_with_rp long, rp_tokens long, keeper_intact boolean",
+    )
+
+
 def q_ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fuggetabouspark.dataops import brute_force_topk
 
@@ -1124,6 +1167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "incremental_dedup": q_incremental_dedup,
         "repeated_passages": q_repeated_passages,
+        "mask_passages": q_mask_passages,
         "ann_topk_cosine": q_ann_topk_cosine,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1393,6 +1437,14 @@ def oracle_sql() -> dict[str, str]:
                    -- 60 - 50 + 1 fully-interior shared windows
                    CAST(60 - 50 + 1 AS BIGINT) AS n_shared_fps,
                    TRUE AS all_found
+            FROM documents
+        """,
+        "mask_passages": """
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(1 AS BIGINT) AS docs_with_rp,
+                   -- one 60-token keeper paragraph survives corpus-wide
+                   CAST(60 AS BIGINT) AS rp_tokens,
+                   TRUE AS keeper_intact
             FROM documents
         """,
         "incremental_dedup": f"""

@@ -7,6 +7,8 @@ operators compose into the standard corpus-preparation flow.
       → exact dedup      (keep one per byte-identical group)
       → near-dup dedup   (MinHash-LSH → Jaccard verify → connected
                           components → keep cluster minimum)
+      → passage removal  (repeated >=20-token spans dropped,
+                          one occurrence kept corpus-wide)
       → incremental guard (checkpointed decaying membership state;
                           day-2 shards dedup against history without
                           re-joining it)
@@ -95,7 +97,20 @@ def main(sf_dir: str) -> None:
     docs = docs.join(near_losers, "doc_id", "left_anti").localCheckpoint()
     n3 = docs.count()
 
-    # 4b. incremental ingest guard: checkpoint the surviving corpus's
+    # 4b. repeated-passage removal (substring level): whole-doc dedup
+    # can't see a 20-token boilerplate block shared by otherwise-
+    # distinct docs; drop every occurrence but one corpus-wide
+    from fuggetabouspark.dataops import mask_repeated_passages
+
+    cleaned = mask_repeated_passages(docs, window=20, min_docs=2)
+    n_passage_tokens = cleaned.agg(F.sum("n_tokens_removed")).collect()[0][0] or 0
+    docs = (
+        docs.join(cleaned.select("doc_id", "text_clean"), "doc_id")
+        .select("doc_id", "source", F.col("text_clean").alias("text"))
+        .localCheckpoint()
+    )
+
+    # 4c. incremental ingest guard: checkpoint the surviving corpus's
     # membership state (decaying TBF + fp ledger), then dedup a
     # simulated day-2 re-crawl against it — the day-2 shard never
     # joins day-1 text, it probes the broadcast sketch and verifies
@@ -147,6 +162,7 @@ def main(sf_dir: str) -> None:
     print(f"after quality:    {n1}")
     print(f"after exact-dup:  {n2}")
     print(f"after near-dup:   {n3}")
+    print(f"passage tokens:   {n_passage_tokens} removed (repeated >=20-token spans)")
     print(f"day-2 re-crawl:   {n_blocked}/50 blocked by the checkpointed state")
     print(f"packed sequences: {n_seqs} x 256 tokens")
     print(f"tokens sketched:  {n_tokens} ({len(sks)} sketch states, "

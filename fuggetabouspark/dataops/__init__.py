@@ -22,8 +22,10 @@ from .dedup import (
     minhash_lsh_candidates,
     minhash_signatures,
     minhash_signatures_tokens,
+    mask_repeated_passages,
     ngram_jaccard_pairs,
     passage_fingerprints,
+    passage_positions,
     repeated_passages,
     simhash_buckets,
 )
@@ -63,7 +65,9 @@ __all__ = [
     "simhash_buckets",
     "ngram_jaccard_pairs",
     "passage_fingerprints",
+    "passage_positions",
     "repeated_passages",
+    "mask_repeated_passages",
     "brute_force_topk",
     "embedding_near_dup",
     "lsh_bucket_topk",

@@ -565,3 +565,105 @@ def repeated_passages(
         )
         .where(F.col("n_docs") >= min_docs)
     )
+
+
+def passage_positions(
+    df: DataFrame, text_col: str = "text", window: int = 50, stride: int = 1
+) -> DataFrame:
+    """(doc_id, fp, pos): one row per window OCCURRENCE — the
+    position-level companion of passage_fingerprints, for consumers
+    that need every span (masking), not just the per-doc distinct
+    rollup. Output rows = sum of per-doc strided span counts
+    (≈ tokens/stride); same pure-map plan shape."""
+    import pyarrow as pa
+
+    def fps(iterator):
+        for tbl in iterator:
+            wh = tbl.column("wh")
+            flat = wh.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+            counts = np.diff(
+                wh.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+            h, pos, off = _window_fps(flat, counts, window, stride)
+            if h.size == 0:
+                continue
+            doc_idx = np.repeat(np.arange(len(counts), dtype=np.int64), np.diff(off))
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "doc_id": tbl.column("doc_id").take(pa.array(doc_idx)),
+                    "fp": pa.array(h, pa.int64()),
+                    "pos": pa.array(pos.astype(np.int32), pa.int32()),
+                }
+            )
+
+    word_hash = F.transform(F.split(F.col(text_col), " "), lambda w: F.xxhash64(w))
+    src = df.select("doc_id", word_hash.alias("wh"))
+    return src.mapInArrow(fps, schema=f"doc_id {_id_type(df)}, fp long, pos int")
+
+
+def mask_repeated_passages(
+    df: DataFrame,
+    text_col: str = "text",
+    window: int = 50,
+    stride: int = 1,
+    min_docs: int = 2,
+) -> DataFrame:
+    """REMOVE repeated passages, keeping exactly ONE occurrence
+    corpus-wide per repeated window fingerprint — the remediation step
+    (Lee et al. 2022 drop-all-but-one semantics, approximated at
+    window granularity). Returns (doc_id, text_clean,
+    n_tokens_removed); docs with nothing to remove pass through.
+
+    Keeper = the lexicographically smallest (doc_id, pos) occurrence
+    of each repeated fingerprint — deterministic, partition-invariant.
+    Every NON-keeper occurrence's span [pos, pos+window) is dropped;
+    overlapping spans union, so a fully repeated paragraph disappears
+    from every doc but the keeper while the keeper doc is untouched.
+
+    Scale shape: two passes over the corpus (detect, then mask). The
+    detect side is one shuffle on fp (countDistinct docs + min
+    keeper); the drop list returns to docs via a shuffle join on fp
+    restricted to repeated fingerprints, and the mask itself is pure
+    JVM array algebra (filter + exists over the per-doc drop
+    positions) — per-token cost O(spans dropped in that doc). No
+    broadcast of the repeated-fp set, so boilerplate-heavy corpora
+    with 10^8+ repeated fingerprints stay shuffle-bound, not
+    driver-bound."""
+    pos_tbl = passage_positions(df, text_col, window, stride)
+    rep = (
+        pos_tbl.groupBy("fp")
+        .agg(
+            F.countDistinct("doc_id").alias("_nd"),
+            F.min(F.struct("doc_id", "pos")).alias("_keep"),
+        )
+        .where(F.col("_nd") >= min_docs)
+        .select("fp", "_keep")
+    )
+    drops = (
+        pos_tbl.join(rep, "fp")
+        .where(
+            (F.col("doc_id") != F.col("_keep.doc_id"))
+            | (F.col("pos") != F.col("_keep.pos"))
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_list("pos").alias("_drops"))
+    )
+    words = F.split(F.col(text_col), " ")
+    kept = F.filter(
+        F.col("_words"),
+        lambda w, i: F.when(F.col("_drops").isNull(), F.lit(True)).otherwise(
+            ~F.exists(
+                F.col("_drops"), lambda p: (i >= p) & (i < p + F.lit(window))
+            )
+        ),
+    )
+    return (
+        df.join(drops, "doc_id", "left")
+        .withColumn("_words", words)
+        .withColumn("_kept", kept)
+        .select(
+            "doc_id",
+            F.array_join("_kept", " ").alias("text_clean"),
+            (F.size("_words") - F.size("_kept")).cast("int").alias("n_tokens_removed"),
+        )
+    )

@@ -1013,3 +1013,92 @@ class TestPNGCodec:
             assert img.shape == (row.height, row.width, 3)
             want = _image_features(img)
             assert np.allclose(feats[mid], want, rtol=1e-6)
+
+
+class TestMaskRepeatedPassages:
+    """Passage REMOVAL (round 4): drop-all-but-one-occurrence
+    semantics at window granularity."""
+
+    def test_keeper_semantics_handcrafted(self, spark):
+        from fuggetabouspark.dataops import mask_repeated_passages
+
+        para = " ".join(f"p{i}" for i in range(8))
+        df = spark.createDataFrame(
+            [(1, f"alpha beta {para} tail1"), (2, f"x y z {para}"),
+             (3, f"{para} end1 end2"), (4, "nothing shared here at all ok")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in
+               mask_repeated_passages(df, window=5, min_docs=2).collect()}
+        # keeper = (doc 1, first paragraph window): doc 1 untouched
+        assert out[1].n_tokens_removed == 0 and "p0" in out[1].text_clean
+        assert out[2].text_clean == "x y z" and out[2].n_tokens_removed == 8
+        assert out[3].text_clean == "end1 end2" and out[3].n_tokens_removed == 8
+        assert out[4].n_tokens_removed == 0
+
+    def test_intra_doc_repeat_dropped(self, spark):
+        from fuggetabouspark.dataops import mask_repeated_passages
+
+        rep = " ".join(f"t{i}" for i in range(5))
+        df = spark.createDataFrame(
+            [(1, f"{rep} mid1 mid2 {rep}"), (2, f"lead {rep}")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in
+               mask_repeated_passages(df, window=5, min_docs=2).collect()}
+        # keeper = (1, 0): doc 1 keeps the FIRST occurrence, loses the
+        # second; doc 2 loses its copy entirely
+        assert out[1].text_clean == f"{rep} mid1 mid2"
+        assert out[1].n_tokens_removed == 5
+        assert out[2].text_clean == "lead" and out[2].n_tokens_removed == 5
+
+    def test_partition_invariant(self, spark):
+        from fuggetabouspark.dataops import mask_repeated_passages
+
+        para = " ".join(f"q{i}" for i in range(7))
+        rows = [(i, f"w{i}a w{i}b {para} w{i}c") for i in range(20)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        a = sorted((r.doc_id, r.text_clean, r.n_tokens_removed) for r in
+                   mask_repeated_passages(df.repartition(1), window=5).collect())
+        b = sorted((r.doc_id, r.text_clean, r.n_tokens_removed) for r in
+                   mask_repeated_passages(df.repartition(7), window=5).collect())
+        assert a == b
+        kept = [t for t in a if "q0" in t[1]]
+        assert len(kept) == 1 and kept[0][0] == 0  # keeper = min doc_id
+
+    def test_matches_brute_force_on_real_corpus(self, spark, docs):
+        """Full equality against an independent brute-force keeper
+        reference over the REAL sf0.001 corpus (which genuinely
+        contains 876 cross-doc shared 20-grams — the generator reuses
+        sentence material like a crawl does): per-doc removed counts
+        AND cleaned text must match exactly, including the 13 docs
+        that are fully masked."""
+        from collections import defaultdict
+
+        from fuggetabouspark.dataops import mask_repeated_passages
+
+        W = 20
+        # keeper ordering follows the doc_id COLUMN TYPE (long here),
+        # so the reference must compare ints, not strings
+        got = {int(r.doc_id): (r.n_tokens_removed, r.text_clean)
+               for r in mask_repeated_passages(docs, window=W, min_docs=2).collect()}
+        rows = {int(r.doc_id): r.text.split() for r in docs.collect()}
+        grams = defaultdict(list)
+        for did in sorted(rows):
+            ws = rows[did]
+            for i in range(len(ws) - W + 1):
+                grams[tuple(ws[i:i + W])].append((did, i))
+        cover = defaultdict(set)
+        for occ in grams.values():
+            if len({d for d, _ in occ}) < 2:
+                continue
+            keeper = min(occ)
+            for d, p in occ:
+                if (d, p) != keeper:
+                    cover[d].update(range(p, p + W))
+        for did, ws in rows.items():
+            want = (
+                len(cover.get(did, ())),
+                " ".join(w for i, w in enumerate(ws) if i not in cover.get(did, ())),
+            )
+            assert got[did] == want, did
