@@ -30,6 +30,7 @@ from .dedup import (
     simhash_buckets,
 )
 from .incremental import (
+    StreamingIngestGuard,
     completed_shards as dedup_completed_shards,
     incremental_dedup,
     ledger_df,
@@ -81,4 +82,5 @@ __all__ = [
     "load_dedup_state",
     "ledger_df",
     "dedup_completed_shards",
+    "StreamingIngestGuard",
 ]

@@ -122,6 +122,7 @@ def incremental_dedup(
     tick_col=None,
     partitions: int | None = None,
     update_state: bool = True,
+    meta_extra: dict | None = None,
 ) -> DataFrame:
     """Dedup ``new_df`` against corpus history AND itself; optionally
     append the survivors to the history state. Returns the annotated
@@ -275,8 +276,105 @@ def incremental_dedup(
             "n_dup_history": n_h,
             "n_dup_intra": n_i,
             "n_retained": n_new - n_h - n_i,
+            **(meta_extra or {}),
         }
         spark.createDataFrame(
             [(shard, json.dumps(meta, sort_keys=True))], "shard int, meta string"
         ).write.mode("append").parquet(lineage_path)
     return ann
+
+
+class StreamingIngestGuard:
+    """Structured-Streaming front door for incremental dedup: a
+    foreachBatch sink where every micro-batch is one ingest shard,
+    deduped against the checkpointed membership state (history AND
+    intra-batch) before its survivors are appended to the history
+    checkpoint and — when ``clean_dir`` is given — written out as the
+    DEDUPED output stream (original columns + the dedup flags).
+
+    Exactly-once under foreachBatch's at-least-once contract, two
+    layers deep:
+    - a fully-committed epoch that gets REPLAYED after a restart is
+      skipped outright (its epoch id is recorded in the shard lineage
+      meta, written last);
+    - a HALF-committed epoch (crash between state writes) is invisible
+      to the loader (lineage-gated recovery) and its re-run is
+      self-correcting by the operator's own semantics: any doc whose
+      fingerprint already reached the ledger is flagged duplicate and
+      retained zero times, so replaying docs can never double-enter
+      history. The clean_dir output of a half-committed epoch is
+      replaced on re-run (epoch-partitioned overwrite).
+
+    ``now_for_epoch`` maps epoch_id → the dedup clock tick (default
+    epoch_id + 1, monotone per trigger); pass your own to tie decay to
+    event time.
+    """
+
+    def __init__(
+        self,
+        spark,
+        checkpoint_dir: str,
+        clean_dir: str | None = None,
+        params=None,
+        window: int | None = None,
+        text_col: str = "text",
+        partitions: int | None = None,
+        now_for_epoch=None,
+    ):
+        self.spark = spark
+        self.checkpoint_dir = checkpoint_dir
+        self.clean_dir = clean_dir
+        self.params = params
+        self.window = window
+        self.text_col = text_col
+        self.partitions = partitions
+        self.now_for_epoch = now_for_epoch or (lambda e: int(e) + 1)
+
+    def process_batch(self, batch_df, epoch_id: int) -> None:
+        done = completed_shards(self.spark, self.checkpoint_dir)
+        if any(m.get("epoch") == int(epoch_id) for m in done):
+            return  # fully-committed epoch replayed after restart
+        ann = incremental_dedup(
+            self.spark,
+            batch_df,
+            self.checkpoint_dir,
+            now=self.now_for_epoch(epoch_id),
+            window=self.window,
+            params=self.params,
+            text_col=self.text_col,
+            partitions=self.partitions,
+            meta_extra={"epoch": int(epoch_id)},
+        )
+        if self.clean_dir is not None:
+            keep = ann.where(
+                ~F.col("is_dup_history") & ~F.col("is_dup_intra")
+            ).select("doc_id")
+            out = (
+                batch_df.withColumn("doc_id", F.col("doc_id").cast("string"))
+                .join(F.broadcast(keep), "doc_id", "left_semi")
+                .withColumn("_epoch", F.lit(int(epoch_id)))
+            )
+            # epoch-partitioned dynamic overwrite: a re-run of a
+            # half-committed epoch replaces exactly its own partition
+            out.write.mode("overwrite").option(
+                "partitionOverwriteMode", "dynamic"
+            ).partitionBy("_epoch").parquet(self.clean_dir)
+        ann.unpersist()
+
+    def start(self, input_path: str, schema, trigger_seconds: int | None = 2,
+              stream_checkpoint: str | None = None):
+        """Attach to a parquet-directory stream and return the
+        StreamingQuery. ``trigger_seconds=None`` uses availableNow
+        (drain what exists, then stop — deterministic for tests and
+        batch-catchup runs); ``stream_checkpoint`` defaults to
+        <checkpoint_dir>/_stream."""
+        stream = self.spark.readStream.schema(schema).parquet(input_path)
+        writer = stream.writeStream.foreachBatch(self.process_batch).option(
+            "checkpointLocation",
+            stream_checkpoint or os.path.join(self.checkpoint_dir, "_stream"),
+        )
+        if trigger_seconds is None:
+            writer = writer.trigger(availableNow=True)
+        else:
+            writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+        return writer.start()

@@ -178,3 +178,61 @@ class TestIncrementalDedup:
         assert ann4.collect()[0].is_dup_history is True
         for x in (ann, ann3, ann4):
             x.unpersist()
+
+
+class TestStreamingIngestGuard:
+    """Streaming front door: each micro-batch is one ingest shard."""
+
+    def test_process_batch_semantics_and_replay(self, spark, ck):
+        import os
+
+        from fuggetabouspark.dataops import (
+            StreamingIngestGuard,
+            ledger_df,
+        )
+
+        clean = os.path.join(ck, "clean")
+        g = StreamingIngestGuard(spark, ck, clean_dir=clean)
+        a = spark.createDataFrame(
+            [(1, "alpha text"), (2, "beta text")], "doc_id long, text string"
+        )
+        g.process_batch(a, 0)
+        b = spark.createDataFrame(
+            [(3, "gamma text"), (4, "alpha text"), (5, "gamma text")],
+            "doc_id long, text string",
+        )
+        g.process_batch(b, 1)
+        out = spark.read.parquet(clean)
+        kept = {r.doc_id for r in out.collect()}
+        # epoch 0 keeps both; epoch 1 drops 4 (history dup of 1) and
+        # 5 (intra-batch dup of 3)
+        assert kept == {"1", "2", "3"}
+        assert ledger_df(spark, ck).count() == 3
+
+        # fully-committed epoch replayed after restart: skipped outright
+        g.process_batch(b, 1)
+        assert ledger_df(spark, ck).count() == 3
+        assert spark.read.parquet(clean).count() == 3
+
+        # same docs as a NEW epoch: self-correcting — everything is a
+        # history dup, nothing re-enters state or output
+        g.process_batch(b, 2)
+        assert ledger_df(spark, ck).count() == 3
+        assert spark.read.parquet(clean).where("_epoch = 2").count() == 0
+
+    def test_real_stream_available_now(self, spark, ck, tmp_path):
+        import os
+
+        from fuggetabouspark.dataops import StreamingIngestGuard, ledger_df
+
+        inp = str(tmp_path / "in")
+        rows = [(i, f"text number {i % 6}") for i in range(12)]  # 6 distinct
+        spark.createDataFrame(rows, "doc_id long, text string").write.parquet(inp)
+        clean = os.path.join(ck, "clean")
+        g = StreamingIngestGuard(spark, ck, clean_dir=clean)
+        q = g.start(inp, "doc_id long, text string", trigger_seconds=None)
+        q.awaitTermination(120)
+        assert ledger_df(spark, ck).count() == 6
+        out = spark.read.parquet(clean)
+        texts = [r.text for r in out.collect()]
+        assert sorted(texts) == sorted({t for _, t in rows})
