@@ -234,6 +234,62 @@ def run_headline(cpus: int, sf_dir: str) -> dict:
         chain_stats["chain_docs"] / q["near_dup_chain_210k_docs"]
     )
 
+    # incremental ingest at corpus scale (round 4): day-1 state is
+    # built once (untimed setup), then the timed job is a WORST-CASE
+    # re-crawl — 200k docs whose every text is already in history, so
+    # every doc hits the sketch and the full candidate set goes through
+    # ledger verification. Measures the recurring per-shard cost
+    # (probe + verify), query-only so reps are identical.
+    import shutil
+    import tempfile
+
+    from fuggetabouspark.dataops import incremental_dedup
+    from fuggetabouspark.params import TimingParams
+
+    ckdir = tempfile.mkdtemp(prefix="fgs_bench_incr_")
+    # size the membership sketch for the corpus (200k distinct texts):
+    # the library default (capacity 2M -> 115 MB tick array) makes the
+    # one-time per-worker state decode, not the probe, the benchmark
+    ip = TimingParams(capacity=500_000, error=0.001, window_ticks=2**31)
+    day1 = mdf.withColumn("doc_id", F.col("doc_id").cast("string"))
+    incremental_dedup(
+        spark, day1, ckdir, now=1, text_col="tokens", partitions=cpus, params=ip
+    ).unpersist()
+    day2 = day1.withColumn("doc_id", F.concat("doc_id", F.lit("_r")))
+
+    def incr_probe():
+        ann = incremental_dedup(
+            spark, day2, ckdir, now=2, text_col="tokens", params=ip,
+            partitions=cpus, update_state=False,
+        )
+        n = ann.where("is_dup_history").count()
+        ann.unpersist()
+        return n
+
+    incr_probe()  # warm: populate the per-worker decoded-state caches
+    q["incremental_recrawl_200k"], n_dup = _best(incr_probe)
+    shutil.rmtree(ckdir, ignore_errors=True)
+    n_day2 = day2.count()
+    extras["incremental_docs"] = n_day2
+    extras["incremental_dups_caught"] = int(n_dup)
+    extras["incremental_docs_per_sec"] = round(n_day2 / q["incremental_recrawl_200k"])
+
+    # repeated-passage removal at corpus scale: detect + mask over the
+    # rendered token stream (35 M tokens); positions table is the one
+    # fp shuffle, the mask itself is JVM array algebra
+    from fuggetabouspark.dataops import mask_repeated_passages
+
+    mtext = mdf.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array_join(F.col("tokens").cast("array<string>"), " ").alias("text"),
+    )
+    q["mask_passages_200k_docs"], removed = _best(
+        lambda: mask_repeated_passages(mtext, window=50)
+        .agg(F.sum("n_tokens_removed")).collect()[0][0]
+    )
+    extras["mask_tokens_removed"] = int(removed or 0)
+    extras["mask_docs_per_sec"] = round(n_day2 / q["mask_passages_200k_docs"])
+
     # sequence packing at corpus scale: 2048-token training sequences
     # from the same pre-tokenized corpus (scan → one bucket shuffle →
     # columnar reshape)

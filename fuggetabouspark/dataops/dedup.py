@@ -630,11 +630,18 @@ def mask_repeated_passages(
     with 10^8+ repeated fingerprints stay shuffle-bound, not
     driver-bound."""
     pos_tbl = passage_positions(df, text_col, window, stride)
+    # detect on the per-doc-DISTINCT rollup, not the occurrence table:
+    # one row per (doc, fp) makes the doc count a plain count(*) (no
+    # countDistinct expand over the occurrence rows), and the global
+    # keeper min(struct(doc_id, pos)) equals min(struct(doc_id,
+    # first_pos)) because the min-doc row's first_pos IS that doc's
+    # minimum position
+    rolled = passage_fingerprints(df, text_col, window, stride)
     rep = (
-        pos_tbl.groupBy("fp")
+        rolled.groupBy("fp")
         .agg(
-            F.countDistinct("doc_id").alias("_nd"),
-            F.min(F.struct("doc_id", "pos")).alias("_keep"),
+            F.count("*").alias("_nd"),
+            F.min(F.struct(F.col("doc_id"), F.col("first_pos").alias("pos"))).alias("_keep"),
         )
         .where(F.col("_nd") >= min_docs)
         .select("fp", "_keep")

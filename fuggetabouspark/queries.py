@@ -15,6 +15,10 @@ from .sketches import Sketch, sketch_from_bytes
 
 SEEN_DDL = "group string, key long, seen boolean"
 
+# worker-process-level cache of deserialized probe sketches, keyed on
+# broadcast id (see seen_within_distributed) — at most one entry
+_PROBE_SKETCH_CACHE: dict = {}
+
 
 def seen_within(
     sketches: dict[tuple[str, str], Sketch],
@@ -84,17 +88,43 @@ def seen_within_distributed(
     sparse membership); ``only_seen=True`` filters executor-side so
     only hits flow downstream — at 20 sources × 10^6 probes that cuts
     the output product by the miss rate before it touches the next
-    exchange (VERDICT r01 #9)."""
+    exchange (VERDICT r01 #9).
+
+    The deserialized sketches are cached PER WORKER PROCESS keyed on
+    the payload CONTENT (round 4): sketch_from_bytes inflates the
+    compressed payload to the full bucket arrays, and doing that per
+    task made concurrent 115 MB inflations the dominant cost of a
+    200 k-probe job. Python workers are reused across tasks AND jobs
+    (spark.python.worker.reuse), so each worker decodes a given state
+    VERSION once, however many probe jobs hit it — the steady-state
+    shape of incremental ingest. The cache keeps only the newest
+    entry, bounding worker memory at one state-set."""
     import pyarrow as pa
 
     rows = state_df.where(f"spec = '{spec_name}'").select("group", "payload").collect()
     payloads = [(r["group"], bytes(r["payload"])) for r in rows]
     bc = spark.sparkContext.broadcast(payloads)
+    import hashlib
+
+    # CONTENT-keyed (not per-call): repeated probes of the same state
+    # version hit the worker cache across jobs — the steady-state shape
+    # of incremental ingest, where one checkpoint version serves many
+    # probe jobs. A new state version changes the bytes and misses.
+    d = hashlib.blake2b(digest_size=16)
+    for g, p_ in payloads:
+        d.update(g.encode()); d.update(p_)
+    cache_key = d.hexdigest()
 
     def probe(iterator):
+        import fuggetabouspark.queries as _q
+
         from .hashing import hash_pair
 
-        sks = [(g, sketch_from_bytes(p)) for g, p in bc.value]
+        sks = _q._PROBE_SKETCH_CACHE.get(cache_key)
+        if sks is None:
+            sks = [(g, sketch_from_bytes(p)) for g, p in bc.value]
+            _q._PROBE_SKETCH_CACHE.clear()  # keep exactly one state-set
+            _q._PROBE_SKETCH_CACHE[cache_key] = sks
         if not sks:  # no groups for this spec: skip hashing entirely
             return
         for tbl in iterator:
