@@ -102,7 +102,7 @@ def main(sf_dir: str) -> None:
     # distinct docs; drop every occurrence but one corpus-wide
     from fuggetabouspark.dataops import mask_repeated_passages
 
-    cleaned = mask_repeated_passages(docs, window=20, min_docs=2)
+    cleaned = mask_repeated_passages(docs, window=20, min_docs=2).localCheckpoint()
     n_passage_tokens = cleaned.agg(F.sum("n_tokens_removed")).collect()[0][0] or 0
     docs = (
         docs.join(cleaned.select("doc_id", "text_clean"), "doc_id")

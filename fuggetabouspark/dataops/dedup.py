@@ -477,22 +477,32 @@ def _window_fps(flat: np.ndarray, counts: np.ndarray, window: int, stride: int):
     return h[flat_pos].view(np.int64), pos_in_doc, out_off
 
 
+def _batch_window_table(tbl, window: int, stride: int):
+    """Shared prologue of both passage UDFs: flatten the batch's word
+    hashes, run the rolling kernel, and align each span to its doc.
+    Returns (fp array, pos-in-doc array, doc row index array) or None
+    when no doc reaches ``window`` tokens — ONE implementation so an
+    offsets-handling fix can never apply to one passage path and miss
+    the other (code-review r04)."""
+    wh = tbl.column("wh")
+    flat = wh.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+    counts = np.diff(wh.offsets.to_numpy(zero_copy_only=False).astype(np.int64))
+    h, pos, off = _window_fps(flat, counts, window, stride)
+    if h.size == 0:
+        return None
+    doc_idx = np.repeat(np.arange(len(counts), dtype=np.int64), np.diff(off))
+    return h, pos, doc_idx
+
+
 def _make_passage_udf(window: int, stride: int):
     import pyarrow as pa
 
     def fps(iterator):
         for tbl in iterator:
-            wh = tbl.column("wh")
-            flat = wh.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
-            counts = np.diff(
-                wh.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-            )
-            h, pos, off = _window_fps(flat, counts, window, stride)
-            if h.size == 0:
+            got = _batch_window_table(tbl, window, stride)
+            if got is None:
                 continue
-            doc_idx = np.repeat(
-                np.arange(len(counts), dtype=np.int64), np.diff(off)
-            )
+            h, pos, doc_idx = got
             # per-(doc, fp) distinct rollup INSIDE the batch: a doc's
             # spans all live in this batch (row alignment), so emitting
             # one row per distinct fp per doc here is exact and shrinks
@@ -579,15 +589,10 @@ def passage_positions(
 
     def fps(iterator):
         for tbl in iterator:
-            wh = tbl.column("wh")
-            flat = wh.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
-            counts = np.diff(
-                wh.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-            )
-            h, pos, off = _window_fps(flat, counts, window, stride)
-            if h.size == 0:
+            got = _batch_window_table(tbl, window, stride)
+            if got is None:
                 continue
-            doc_idx = np.repeat(np.arange(len(counts), dtype=np.int64), np.diff(off))
+            h, pos, doc_idx = got
             yield pa.RecordBatch.from_pydict(
                 {
                     "doc_id": tbl.column("doc_id").take(pa.array(doc_idx)),
@@ -620,15 +625,17 @@ def mask_repeated_passages(
     overlapping spans union, so a fully repeated paragraph disappears
     from every doc but the keeper while the keeper doc is untouched.
 
-    Scale shape: two passes over the corpus (detect, then mask). The
-    detect side is one shuffle on fp (countDistinct docs + min
-    keeper); the drop list returns to docs via a shuffle join on fp
-    restricted to repeated fingerprints, and the mask itself is pure
-    JVM array algebra (filter + exists over the per-doc drop
-    positions) — per-token cost O(spans dropped in that doc). No
-    broadcast of the repeated-fp set, so boilerplate-heavy corpora
-    with 10^8+ repeated fingerprints stay shuffle-bound, not
-    driver-bound."""
+    Scale shape: THREE scans of the corpus (rolled detect kernel,
+    position kernel, and the final mask join) — the kernels are pure
+    O(tokens) maps, so re-scanning beats materializing the 35 M-row
+    position table. Detect aggregates the per-doc-distinct rollup
+    (plain count, no countDistinct expand); the drop list returns to
+    docs via a shuffle join on fp restricted to repeated
+    fingerprints, and the mask itself is pure JVM array algebra
+    (filter + exists over the per-doc drop positions) — per-token
+    cost O(spans dropped in that doc). No broadcast of the
+    repeated-fp set, so boilerplate-heavy corpora with 10^8+ repeated
+    fingerprints stay shuffle-bound, not driver-bound."""
     pos_tbl = passage_positions(df, text_col, window, stride)
     # detect on the per-doc-DISTINCT rollup, not the occurrence table:
     # one row per (doc, fp) makes the doc count a plain count(*) (no

@@ -80,12 +80,48 @@ def load_dedup_state(spark, checkpoint_dir: str):
     from ..pipeline import merge_rows_to_sketches
 
     state_path, _, _ = _paths(checkpoint_dir)
+    if not os.path.exists(state_path) and os.path.exists(state_path + "_old"):
+        state_path = state_path + "_old"  # compaction crashed mid-swap
     done = [int(m["shard"]) for m in completed_shards(spark, checkpoint_dir)]
     if not done or not os.path.exists(state_path):
         return None
-    df = spark.read.parquet(state_path).where(F.col("shard").isin(done))
+    # shard -1 is the compacted row: produced exclusively from
+    # already-completed shards, so it is valid without a lineage entry
+    df = spark.read.parquet(state_path).where(
+        F.col("shard").isin(done) | (F.col("shard") == -1)
+    )
     merged = merge_rows_to_sketches(df.collect())
     return merged.get((DEDUP_SPEC, ""))
+
+
+def compact_dedup_checkpoint(spark, checkpoint_dir: str):
+    """Fold every completed shard's sketch rows into ONE shard=-1 row,
+    atomically replacing the sketch_state directory (aside-rename swap,
+    same crash protocol as state.compact_checkpoint — load falls back
+    to the _old copy if a crash lands between the renames). Ledger and
+    lineage are untouched: the ledger is read with columnar pushdown
+    and lineage rows are tiny, but the sketch-state merge was
+    O(shards × payload) per load — the unbounded per-trigger cost
+    code-review r04 flagged for long-running streaming ingest. Safe
+    and idempotent any time; returns the merged sketch (None if the
+    checkpoint is empty)."""
+    import shutil
+
+    sk = load_dedup_state(spark, checkpoint_dir)
+    if sk is None:
+        return None
+    state_path, _, _ = _paths(checkpoint_dir)
+    tmp, old = state_path + "_compacting", state_path + "_old"
+    spark.createDataFrame(
+        [(DEDUP_SPEC, "", bytearray(sk.to_bytes()), int(sk.n_items), -1)],
+        "spec string, group string, payload binary, n_items long, shard int",
+    ).coalesce(1).write.mode("overwrite").parquet(tmp)
+    if os.path.exists(state_path):
+        shutil.rmtree(old, ignore_errors=True)
+        shutil.move(state_path, old)  # crash here → loader uses _old
+    shutil.move(tmp, state_path)
+    shutil.rmtree(old, ignore_errors=True)
+    return sk
 
 
 def ledger_df(spark, checkpoint_dir: str, completed_only: bool = True) -> DataFrame | None:
@@ -111,55 +147,23 @@ def completed_shards(spark, checkpoint_dir: str) -> list[dict]:
     return sorted((json.loads(r["meta"]) for r in rows), key=lambda m: m["shard"])
 
 
-def incremental_dedup(
+def annotate_against_history(
     spark,
     new_df: DataFrame,
     checkpoint_dir: str,
     now: int,
     window: int | None = None,
-    params=None,
     text_col: str = "text",
     tick_col=None,
-    partitions: int | None = None,
-    update_state: bool = True,
-    meta_extra: dict | None = None,
 ) -> DataFrame:
-    """Dedup ``new_df`` against corpus history AND itself; optionally
-    append the survivors to the history state. Returns the annotated
-    frame (ANNOTATED_DDL), local-checkpointed so the flags are frozen
-    before the state writes (see inline note) and the caller's actions
-    never recompute the probe:
-
-    - ``is_dup_history``: an EARLIER ingest retained a doc with the
-      same text fingerprint whose tick is within the window —
-      text-exact (sketch hits are verified against the ledger, so the
-      sketch's FPR never leaks into the flags; sketch misses are
-      proof-of-new because TBF/STBF have zero in-window false
-      negatives).
-    - ``is_dup_intra``: a same-fingerprint doc with a smaller doc_id
-      exists in THIS shard (and the fp is not a history dup);
-      first-occurrence-wins, ties broken by string doc_id order.
-    - ``hist_doc_id``: for history dups, the retained doc that
-      suppressed this one — the LATEST in-window sighting, tick ties
-      broken by largest doc_id (deterministic).
-
-    ``params``: TimingParams (TBF, default) or ScalingParams (STBF) for
-    the membership sketch. Disjoint-key regime note (pipeline.
-    build_sketches docstring): dedup guarantees each fp enters the
-    sketch exactly once across ALL shards, so for STBF either size
-    capacity for the expected corpus-wide distinct count or cap the
-    expected shard count via params.max_fill_factor yourself.
-    ``window`` narrows the query window below the sketch's configured
-    ``window_ticks`` (never above — queries._with_window semantics).
-    """
-    from ..params import ScalingParams, TimingParams
-    from ..pipeline import SketchSpec, build_sketches
+    """The LAZY annotated-flags plan incremental_dedup materializes:
+    exposed separately so plan gates (tools/explain_plans.py) can
+    .explain() the real operator — the probe must stay a pure map and
+    the ledger verify a BroadcastHashJoin — instead of a hand-built
+    replica (code-review r04). Callers who want the flags should use
+    incremental_dedup(update_state=False): the raw plan re-reads the
+    checkpoint on every action."""
     from ..queries import _with_window, seen_within_distributed, sk_window
-
-    if params is None:
-        params = TimingParams(capacity=2_000_000, error=0.001, window_ticks=2**31)
-    kind = "stbf" if isinstance(params, ScalingParams) else "tbf"
-    state_path, ledger_path, lineage_path = _paths(checkpoint_dir)
 
     fps = new_df.select(
         F.col("doc_id").cast("string").alias("doc_id"),
@@ -215,7 +219,7 @@ def incremental_dedup(
     # ---- intra-shard first occurrence (shard-local shuffle) ----
     firsts = fps.groupBy("fp").agg(F.min("doc_id").alias("_first_doc"))
 
-    ann = (
+    return (
         fps.join(firsts, "fp")
         .join(F.broadcast(verified), "fp", "left")
         .select(
@@ -227,6 +231,62 @@ def incremental_dedup(
             ).alias("is_dup_intra"),
             "hist_doc_id",
         )
+    )
+
+
+def incremental_dedup(
+    spark,
+    new_df: DataFrame,
+    checkpoint_dir: str,
+    now: int,
+    window: int | None = None,
+    params=None,
+    text_col: str = "text",
+    tick_col=None,
+    partitions: int | None = None,
+    update_state: bool = True,
+    meta_extra: dict | None = None,
+    pre_lineage_hook=None,
+) -> DataFrame:
+    """Dedup ``new_df`` against corpus history AND itself; optionally
+    append the survivors to the history state. Returns the annotated
+    frame (ANNOTATED_DDL), local-checkpointed so the flags are frozen
+    before the state writes (see inline note) and the caller's actions
+    never recompute the probe:
+
+    - ``is_dup_history``: an EARLIER ingest retained a doc with the
+      same text fingerprint whose tick is within the window —
+      text-exact (sketch hits are verified against the ledger, so the
+      sketch's FPR never leaks into the flags; sketch misses are
+      proof-of-new because TBF/STBF have zero in-window false
+      negatives).
+    - ``is_dup_intra``: a same-fingerprint doc with a smaller doc_id
+      exists in THIS shard (and the fp is not a history dup);
+      first-occurrence-wins, ties broken by string doc_id order.
+    - ``hist_doc_id``: for history dups, the retained doc that
+      suppressed this one — the LATEST in-window sighting, tick ties
+      broken by largest doc_id (deterministic).
+
+    ``params``: TimingParams (TBF, default) or ScalingParams (STBF) for
+    the membership sketch. Disjoint-key regime note (pipeline.
+    build_sketches docstring): dedup guarantees each fp enters the
+    sketch exactly once across ALL shards, so for STBF either size
+    capacity for the expected corpus-wide distinct count or cap the
+    expected shard count via params.max_fill_factor yourself.
+    ``window`` narrows the query window below the sketch's configured
+    ``window_ticks`` (never above — queries._with_window semantics).
+    """
+    from ..params import ScalingParams, TimingParams
+    from ..pipeline import SketchSpec, build_sketches
+
+    if params is None:
+        params = TimingParams(capacity=2_000_000, error=0.001, window_ticks=2**31)
+    kind = "stbf" if isinstance(params, ScalingParams) else "tbf"
+    state_path, ledger_path, lineage_path = _paths(checkpoint_dir)
+
+    ann = annotate_against_history(
+        spark, new_df, checkpoint_dir, now,
+        window=window, text_col=text_col, tick_col=tick_col,
     )
     # localCheckpoint, not persist: the annotated plan READS the ledger
     # path this function is about to APPEND to, and Spark's cache
@@ -263,6 +323,12 @@ def incremental_dedup(
         ).write.mode("append").parquet(state_path)
         survivors.select("fp", "doc_id", "tick", F.lit(shard).cast("int").alias("shard")) \
             .write.mode("append").parquet(ledger_path)
+        if pre_lineage_hook is not None:
+            # caller-side durable output (e.g. the streaming guard's
+            # clean stream) must land BEFORE the lineage marker: once
+            # lineage commits, a replay is skipped, so anything written
+            # after it would be lost to a crash in between
+            pre_lineage_hook(ann)
         counts = ann.agg(
             F.count("*").alias("n"),
             F.sum(F.col("is_dup_history").cast("long")).alias("h"),
@@ -290,20 +356,26 @@ class StreamingIngestGuard:
     deduped against the checkpointed membership state (history AND
     intra-batch) before its survivors are appended to the history
     checkpoint and — when ``clean_dir`` is given — written out as the
-    DEDUPED output stream (original columns + the dedup flags).
+    DEDUPED output stream (the batch's original columns and doc_id
+    type, epoch-partitioned).
 
     Exactly-once under foreachBatch's at-least-once contract, two
     layers deep:
     - a fully-committed epoch that gets REPLAYED after a restart is
       skipped outright (its epoch id is recorded in the shard lineage
-      meta, written last);
-    - a HALF-committed epoch (crash between state writes) is invisible
-      to the loader (lineage-gated recovery) and its re-run is
-      self-correcting by the operator's own semantics: any doc whose
-      fingerprint already reached the ledger is flagged duplicate and
-      retained zero times, so replaying docs can never double-enter
-      history. The clean_dir output of a half-committed epoch is
-      replaced on re-run (epoch-partitioned overwrite).
+      meta — which is the checkpoint's LAST write, strictly after the
+      clean_dir output lands via incremental_dedup's pre_lineage_hook,
+      so a skipped epoch has by construction already published its
+      clean output; code-review r04 found the previous ordering could
+      lose an epoch's output to a crash between lineage and clean);
+    - a HALF-committed epoch (crash anywhere before lineage) is
+      invisible to the loader (lineage-gated recovery) and its re-run
+      is self-correcting by the operator's own semantics: any doc
+      whose fingerprint already reached the ledger is flagged
+      duplicate and retained zero times, so replaying docs can never
+      double-enter history. The clean_dir output of a half-committed
+      epoch is replaced on re-run (epoch-partitioned dynamic
+      overwrite).
 
     ``now_for_epoch`` maps epoch_id → the dedup clock tick (default
     epoch_id + 1, monotone per trigger); pass your own to tie decay to
@@ -320,6 +392,7 @@ class StreamingIngestGuard:
         text_col: str = "text",
         partitions: int | None = None,
         now_for_epoch=None,
+        compact_every: int | None = 64,
     ):
         self.spark = spark
         self.checkpoint_dir = checkpoint_dir
@@ -329,11 +402,46 @@ class StreamingIngestGuard:
         self.text_col = text_col
         self.partitions = partitions
         self.now_for_epoch = now_for_epoch or (lambda e: int(e) + 1)
+        # every batch reloads-and-merges the sketch rows of all shards
+        # (O(shards × payload)); periodic compaction folds them into
+        # one shard=-1 row so per-trigger cost stays O(compact_every)
+        # instead of growing forever (code-review r04)
+        self.compact_every = compact_every
+        self._batches_done = 0
 
     def process_batch(self, batch_df, epoch_id: int) -> None:
+        """foreachBatch body; callable directly for batch catch-up.
+        Epoch ids are the dedup key for replay skipping, so don't mix
+        hand-picked ids with a live stream's own numbering on the same
+        checkpoint — a stream restarted with a fresh STREAM checkpoint
+        restarts epochs at 0 and would skip batches whose ids a manual
+        call already burned (observed in a verify drive)."""
         done = completed_shards(self.spark, self.checkpoint_dir)
         if any(m.get("epoch") == int(epoch_id) for m in done):
-            return  # fully-committed epoch replayed after restart
+            return  # fully committed (incl. clean output — see class doc)
+
+        def publish_clean(ann):
+            if self.clean_dir is None:
+                return
+            keep = ann.where(
+                ~F.col("is_dup_history") & ~F.col("is_dup_intra")
+            ).select(F.col("doc_id").alias("_k"))
+            # survivors keep the batch's ORIGINAL columns and doc_id
+            # type — the join key is a derived string column, dropped
+            # after the semi-join (code-review r04: the old path
+            # silently retyped doc_id to string)
+            out = (
+                batch_df.withColumn("_k", F.col("doc_id").cast("string"))
+                .join(F.broadcast(keep), "_k", "left_semi")
+                .drop("_k")
+                .withColumn("_epoch", F.lit(int(epoch_id)))
+            )
+            # epoch-partitioned dynamic overwrite: a re-run of a
+            # half-committed epoch replaces exactly its own partition
+            out.write.mode("overwrite").option(
+                "partitionOverwriteMode", "dynamic"
+            ).partitionBy("_epoch").parquet(self.clean_dir)
+
         ann = incremental_dedup(
             self.spark,
             batch_df,
@@ -344,22 +452,12 @@ class StreamingIngestGuard:
             text_col=self.text_col,
             partitions=self.partitions,
             meta_extra={"epoch": int(epoch_id)},
+            pre_lineage_hook=publish_clean,
         )
-        if self.clean_dir is not None:
-            keep = ann.where(
-                ~F.col("is_dup_history") & ~F.col("is_dup_intra")
-            ).select("doc_id")
-            out = (
-                batch_df.withColumn("doc_id", F.col("doc_id").cast("string"))
-                .join(F.broadcast(keep), "doc_id", "left_semi")
-                .withColumn("_epoch", F.lit(int(epoch_id)))
-            )
-            # epoch-partitioned dynamic overwrite: a re-run of a
-            # half-committed epoch replaces exactly its own partition
-            out.write.mode("overwrite").option(
-                "partitionOverwriteMode", "dynamic"
-            ).partitionBy("_epoch").parquet(self.clean_dir)
         ann.unpersist()
+        self._batches_done += 1
+        if self.compact_every and self._batches_done % self.compact_every == 0:
+            compact_dedup_checkpoint(self.spark, self.checkpoint_dir)
 
     def start(self, input_path: str, schema, trigger_seconds: int | None = 2,
               stream_checkpoint: str | None = None):

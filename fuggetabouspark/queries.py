@@ -16,7 +16,8 @@ from .sketches import Sketch, sketch_from_bytes
 SEEN_DDL = "group string, key long, seen boolean"
 
 # worker-process-level cache of deserialized probe sketches, keyed on
-# broadcast id (see seen_within_distributed) — at most one entry
+# a content hash of the state payloads (see seen_within_distributed)
+# — at most one entry
 _PROBE_SKETCH_CACHE: dict = {}
 
 
@@ -112,7 +113,12 @@ def seen_within_distributed(
     # probe jobs. A new state version changes the bytes and misses.
     d = hashlib.blake2b(digest_size=16)
     for g, p_ in payloads:
-        d.update(g.encode()); d.update(p_)
+        gb = g.encode()
+        # length-framed fields: without the prefixes, ("a", b"bXY") and
+        # ("ab", b"XY") would hash identically and a colliding
+        # state-set could serve sketches under the wrong group labels
+        d.update(len(gb).to_bytes(4, "little")); d.update(gb)
+        d.update(len(p_).to_bytes(8, "little")); d.update(p_)
     cache_key = d.hexdigest()
 
     def probe(iterator):

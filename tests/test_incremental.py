@@ -205,8 +205,8 @@ class TestStreamingIngestGuard:
         out = spark.read.parquet(clean)
         kept = {r.doc_id for r in out.collect()}
         # epoch 0 keeps both; epoch 1 drops 4 (history dup of 1) and
-        # 5 (intra-batch dup of 3)
-        assert kept == {"1", "2", "3"}
+        # 5 (intra-batch dup of 3); doc_id keeps its ORIGINAL long type
+        assert kept == {1, 2, 3}
         assert ledger_df(spark, ck).count() == 3
 
         # fully-committed epoch replayed after restart: skipped outright
@@ -236,3 +236,55 @@ class TestStreamingIngestGuard:
         out = spark.read.parquet(clean)
         texts = [r.text for r in out.collect()]
         assert sorted(texts) == sorted({t for _, t in rows})
+
+
+class TestCompaction:
+    def test_compact_preserves_answers_and_bounds_state(self, spark, ck):
+        import os
+
+        from fuggetabouspark.dataops.incremental import (
+            compact_dedup_checkpoint,
+            load_dedup_state,
+        )
+
+        mk = lambda i, t: spark.createDataFrame([(i, t)], "doc_id long, text string")
+        for i, t in [(1, "t one"), (2, "t two"), (3, "t three")]:
+            incremental_dedup(spark, mk(i, t), ck, now=i).unpersist()
+        before = load_dedup_state(spark, ck)
+        sk = compact_dedup_checkpoint(spark, ck)
+        assert sk is not None
+        # single shard=-1 row now carries the whole membership state
+        rows = spark.read.parquet(os.path.join(ck, "sketch_state")).collect()
+        assert [r.shard for r in rows] == [-1]
+        after = load_dedup_state(spark, ck)
+        assert after.to_bytes() == before.to_bytes()
+        # post-compaction ingest still dedups against ALL prior shards
+        q = incremental_dedup(spark, mk(9, "t two"), ck, now=9)
+        assert q.collect()[0].is_dup_history is True
+        q.unpersist()
+        # idempotent: compacting twice is a no-op on the answer
+        compact_dedup_checkpoint(spark, ck)
+        assert load_dedup_state(spark, ck) is not None
+
+    def test_guard_auto_compacts(self, spark, ck):
+        import os
+
+        from fuggetabouspark.dataops import StreamingIngestGuard
+
+        g = StreamingIngestGuard(spark, ck, compact_every=2)
+        for e in range(4):
+            g.process_batch(
+                spark.createDataFrame([(e, f"text {e}")], "doc_id long, text string"), e
+            )
+        shards = {r.shard for r in
+                  spark.read.parquet(os.path.join(ck, "sketch_state")).collect()}
+        assert -1 in shards  # compaction ran
+        # all four texts still suppress clones
+        q = incremental_dedup(
+            spark,
+            spark.createDataFrame([(10, "text 0"), (11, "text 3")],
+                                  "doc_id long, text string"),
+            ck, now=99, update_state=False,
+        )
+        assert all(r.is_dup_history for r in q.collect())
+        q.unpersist()

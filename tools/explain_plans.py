@@ -226,23 +226,29 @@ def main():
         "passages",
     ))
 
-    # 9. incremental-dedup ledger verify: candidate fps broadcast INTO
-    # the ledger scan — BroadcastHashJoin, never a sort-merge shuffle
-    # of history
-    cand = spark.range(8).select(F.col("id").alias("fp"))
-    ledger = docs.select(
-        F.xxhash64("text").alias("fp"),
-        F.col("doc_id").cast("string").alias("doc_id"),
-        F.lit(1).cast("long").alias("tick"),
-    )
-    verify = (
-        ledger.join(F.broadcast(cand), "fp")
-        .groupBy("fp")
-        .agg(F.max(F.struct("tick", "doc_id")).alias("_b"))
-    )
-    p10 = plan_of(verify)
+    # 9. incremental-dedup annotated plan — the REAL operator, not a
+    # replica (code-review r04): build a small checkpoint, then explain
+    # annotate_against_history (the exact lazy plan incremental_dedup
+    # materializes). The ledger verify must be a BroadcastHashJoin —
+    # history filtered in place, never shuffled.
+    import shutil
+    import tempfile
+
+    from fuggetabouspark.dataops import incremental_dedup
+    from fuggetabouspark.dataops.incremental import annotate_against_history
+
+    ck = tempfile.mkdtemp(prefix="fgs_plans_incr_")
+    try:
+        incremental_dedup(
+            spark, docs.select("doc_id", "text").limit(64), ck, now=1, partitions=4
+        ).unpersist()
+        p10 = plan_of(
+            annotate_against_history(spark, docs.select("doc_id", "text"), ck, now=2)
+        )
+    finally:
+        shutil.rmtree(ck, ignore_errors=True)
     sections.append((
-        "incremental-dedup ledger verify (broadcast candidates into history)",
+        "incremental-dedup annotated plan (real operator: probe + broadcast ledger verify)",
         p10,
         "Sketch hits (tiny) broadcast into the fp-ledger scan: the "
         "100 TB history is filtered in place, never shuffled — the "
