@@ -977,6 +977,54 @@ def q_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup verdict (round 4): shard B's planted exact
+    clones of shard-A docs must ALL be flagged against the
+    checkpointed LSH state — with certainty, because an exact clone
+    has an identical minhash signature, so either its original was
+    retained (estimate 1.0) or the original was itself near-dup'd away
+    and the clone matches that keeper with the very estimate that
+    dropped the original (>= threshold either way). Only
+    planted-focused counts are emitted: the full flag set depends on
+    hash-estimated Jaccard that SQL cannot recompute."""
+    import shutil
+    import tempfile
+
+    from fuggetabouspark.dataops import incremental_near_dup
+
+    _ship(spark)
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    shard_a = docs.where(F.col("doc_id") % 2 == 0)
+    clones = shard_a.where(F.col("doc_id") % PLANT_MOD == 0).select(
+        (F.col("doc_id") + PLANT_OFFSET).alias("doc_id"), "text"
+    )
+    shard_b = docs.where(F.col("doc_id") % 2 == 1).unionByName(clones)
+    ck = tempfile.mkdtemp(prefix="fgs_incr_near_")
+    # gate-sized band-key sketch (≈ docs × bands keys); the library
+    # default capacity 2M is a 115 MB tick array — pure decode overhead
+    # for a 500-doc gate (same sizing note as q_incremental_dedup)
+    from fuggetabouspark.params import TimingParams
+
+    p = TimingParams(capacity=50_000, error=0.001, window_ticks=2**31)
+    try:
+        incremental_near_dup(spark, shard_a, ck, now=1, partitions=8, params=p).unpersist()
+        ann_b = incremental_near_dup(spark, shard_b, ck, now=2, partitions=8, params=p)
+        flagged = {r["doc_id"] for r in ann_b.where("is_near_dup_history").collect()}
+        n_b = ann_b.count()
+        ann_b.unpersist()
+    finally:
+        shutil.rmtree(ck, ignore_errors=True)
+    planted = {
+        str(r["doc_id"] + PLANT_OFFSET)
+        for r in shard_a.where(F.col("doc_id") % PLANT_MOD == 0).collect()
+    }
+    n_caught = len(planted & flagged)
+    return spark.createDataFrame(
+        [(int(n_b), len(planted), n_caught, bool(n_caught == len(planted)))],
+        "n_b long, n_planted long, n_planted_flagged long, all_planted boolean",
+    )
+
+
 def q_mask_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Passage-REMOVAL verdict (round 4): same planted construction as
     repeated_passages (60-word 'rp*' paragraph appended to the 8 docs
@@ -1166,6 +1214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
         "incremental_dedup": q_incremental_dedup,
+        "incremental_near_dup": q_incremental_near_dup,
         "repeated_passages": q_repeated_passages,
         "mask_passages": q_mask_passages,
         "ann_topk_cosine": q_ann_topk_cosine,
@@ -1437,6 +1486,17 @@ def oracle_sql() -> dict[str, str]:
                    -- 60 - 50 + 1 fully-interior shared windows
                    CAST(60 - 50 + 1 AS BIGINT) AS n_shared_fps,
                    TRUE AS all_found
+            FROM documents
+        """,
+        "incremental_near_dup": f"""
+            SELECT CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)
+                        + SUM(CASE WHEN doc_id % 2 = 0 AND doc_id % {PLANT_MOD} = 0
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                   CAST(SUM(CASE WHEN doc_id % 2 = 0 AND doc_id % {PLANT_MOD} = 0
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_planted,
+                   CAST(SUM(CASE WHEN doc_id % 2 = 0 AND doc_id % {PLANT_MOD} = 0
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_planted_flagged,
+                   TRUE AS all_planted
             FROM documents
         """,
         "mask_passages": """

@@ -31,6 +31,7 @@ from .dedup import (
 )
 from .incremental import (
     StreamingIngestGuard,
+    incremental_near_dup,
     completed_shards as dedup_completed_shards,
     incremental_dedup,
     ledger_df,
@@ -83,4 +84,5 @@ __all__ = [
     "ledger_df",
     "dedup_completed_shards",
     "StreamingIngestGuard",
+    "incremental_near_dup",
 ]

@@ -209,6 +209,37 @@ def _make_sig_udf(num_hashes: int, shingle: int):
     return sig
 
 
+def banded_signatures(
+    sig_df: DataFrame, bands: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """(doc_id, band, bucket): each doc's LSH band keys — the shared
+    banding of minhash_lsh_candidates, exposed so incremental near-dup
+    can probe/ledger the SAME keys a batch self-join would use. Fails
+    fast when bands × rows_per_band exceeds the signature length
+    (out-of-range slices would silently collapse the overflow bands
+    into one bucket — an accidental all-pairs join)."""
+    sig_df = sig_df.withColumn(
+        "sig",
+        F.when(
+            F.size("sig") >= bands * rows_per_band, F.col("sig")
+        ).otherwise(
+            F.raise_error(
+                F.lit(
+                    f"minhash signature shorter than bands*rows_per_band = {bands * rows_per_band}"
+                )
+            )
+        ),
+    )
+    b = []
+    for band in range(bands):
+        lo = band * rows_per_band
+        sl = F.slice("sig", lo + 1, rows_per_band)
+        b.append(F.struct(F.lit(band).alias("band"), F.xxhash64(sl).alias("bucket")))
+    return sig_df.select(
+        "doc_id", F.explode(F.array(*b)).alias("bb")
+    ).select("doc_id", "bb.band", "bb.bucket")
+
+
 def minhash_lsh_candidates(
     sig_df: DataFrame, bands: int = 16, rows_per_band: int = 4
 ) -> DataFrame:
@@ -220,28 +251,7 @@ def minhash_lsh_candidates(
     Fails fast when bands × rows_per_band exceeds the signature length:
     out-of-range slices would silently hash every doc into the same
     bucket for the overflow bands (an accidental all-pairs join)."""
-    from pyspark.sql import functions as _F
-
-    sig_df = sig_df.withColumn(
-        "sig",
-        _F.when(
-            _F.size("sig") >= bands * rows_per_band, _F.col("sig")
-        ).otherwise(
-            _F.raise_error(
-                _F.lit(
-                    f"minhash signature shorter than bands*rows_per_band = {bands * rows_per_band}"
-                )
-            )
-        ),
-    )
-    b = []
-    for band in range(bands):
-        lo = band * rows_per_band
-        sl = F.slice("sig", lo + 1, rows_per_band)
-        b.append(F.struct(F.lit(band).alias("band"), F.xxhash64(sl).alias("bucket")))
-    banded = sig_df.select(
-        "doc_id", F.explode(F.array(*b)).alias("bb")
-    ).select("doc_id", "bb.band", "bb.bucket")
+    banded = banded_signatures(sig_df, bands, rows_per_band)
     left = banded.alias("l")
     right = banded.alias("r")
     return (

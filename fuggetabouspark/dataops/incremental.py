@@ -476,3 +476,265 @@ class StreamingIngestGuard:
         else:
             writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
         return writer.start()
+
+
+# --------------------------------------------------------------------
+# incremental NEAR-dup: cross-shard MinHash-LSH against checkpointed
+# state (round 4 — rounds out the exact-fp guard above)
+# --------------------------------------------------------------------
+
+NEAR_SPEC = "near_dup_band"
+BAND_LEDGER_DDL = "bkey long, doc_id string, tick long, shard int"
+SIG_LEDGER_DDL = "doc_id string, sig array<long>, tick long, shard int"
+NEAR_ANNOTATED_DDL = (
+    "doc_id string, is_near_dup_history boolean, is_near_dup_intra boolean, "
+    "hist_doc_id string, est_jaccard double"
+)
+
+
+def _near_paths(checkpoint_dir: str) -> tuple[str, str, str, str]:
+    return (
+        os.path.join(checkpoint_dir, "sketch_state"),
+        os.path.join(checkpoint_dir, "band_ledger"),
+        os.path.join(checkpoint_dir, "sig_ledger"),
+        os.path.join(checkpoint_dir, "lineage"),
+    )
+
+
+def incremental_near_dup(
+    spark,
+    new_df: DataFrame,
+    checkpoint_dir: str,
+    now: int,
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    window: int | None = None,
+    params=None,
+    text_col: str = "text",
+    partitions: int | None = None,
+    update_state: bool = True,
+) -> DataFrame:
+    """NEAR-duplicate dedup of a new ingest shard against checkpointed
+    history — the MinHash-LSH analogue of incremental_dedup, and the
+    same never-re-join-history shape at 100 TB:
+
+    - history state = a decaying TBF over LSH BAND KEYS (a doc
+      contributes ``bands`` keys) + a band ledger (bkey → retained
+      doc, 30 B/key) + a sig ledger (doc → its num_hashes minhashes,
+      ~0.5 KB/doc). All three are O(retained docs), independent of
+      corpus text size.
+    - a new shard's band keys probe the broadcast sketch: zero
+      in-window false negatives ⇒ a doc NONE of whose band keys hit
+      provably shares no band with retained history (exactly the docs
+      a batch LSH self-join would never pair). Hit keys — true shared
+      bands plus the sketch's FPR — fetch candidate partners from the
+      band ledger, and candidate pairs are verified by the minhash
+      Jaccard ESTIMATE (matching-signature fraction; the same
+      estimator the batch chain verifies with before exact Jaccard).
+      An exact text clone has an identical signature, so clones are
+      flagged with certainty (est_jaccard = 1) — what the oracle pins.
+    - survivors append their band keys, sigs, and lineage (same
+      sketch-first/ledgers/lineage-LAST recovery protocol; replays
+      self-correct exactly as in incremental_dedup).
+
+    Flags: is_near_dup_history (some retained in-window doc's
+    signature matches ≥ threshold), is_near_dup_intra (a same-shard
+    doc with smaller doc_id matches ≥ threshold and the doc is not
+    already a history dup), hist_doc_id = best-matching historical doc
+    (max est_jaccard, ties → max doc_id), est_jaccard = that match's
+    estimate. Share a checkpoint_dir with incremental_dedup freely:
+    the sketch spec name and ledger dirs are disjoint, lineage is
+    shared (shard numbering interleaves)."""
+    from ..params import ScalingParams, TimingParams
+    from ..pipeline import SketchSpec, build_sketches
+    from ..queries import _with_window, seen_within_distributed, sk_window
+    from .dedup import banded_signatures, minhash_signatures
+
+    if params is None:
+        params = TimingParams(capacity=2_000_000, error=0.001, window_ticks=2**31)
+    kind = "stbf" if isinstance(params, ScalingParams) else "tbf"
+    state_path, band_path, sig_path, lineage_path = _near_paths(checkpoint_dir)
+
+    src = new_df.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col(text_col).alias("text"),
+        F.lit("").alias("source"),
+    )
+    sig = minhash_signatures(src, num_hashes=num_hashes).select("doc_id", "sig")
+    sig = sig.localCheckpoint(eager=True)  # one signature pass, reused below
+    banded = banded_signatures(sig, bands, rows_per_band).select(
+        "doc_id", F.xxhash64("band", "bucket").alias("bkey")
+    )
+
+    # ---- history probe over band keys ----
+    sk = _load_near_state(spark, checkpoint_dir)
+    if sk is not None:
+        w = window if window is not None else sk_window(sk)
+        if w > sk_window(sk):
+            raise ValueError(
+                f"window {w} exceeds the sketch's window_ticks {sk_window(sk)}"
+            )
+        if w != sk_window(sk):
+            sk = _with_window(sk, w)
+        state_df = spark.createDataFrame(
+            [(NEAR_SPEC, "", bytearray(sk.to_bytes()), int(sk.n_items))],
+            "spec string, group string, payload binary, n_items long",
+        )
+        hits = (
+            seen_within_distributed(
+                spark, state_df, NEAR_SPEC,
+                banded.select(F.col("bkey").alias("key")), now, only_seen=True,
+            )
+            .select(F.col("key").alias("bkey"))
+            .distinct()
+        )
+        done = [int(m["shard"]) for m in completed_shards(spark, checkpoint_dir)]
+        band_led = spark.read.parquet(band_path).where(
+            (F.col("shard").isin(done))
+            & (F.col("tick") >= F.lit(now - w + 1)) & (F.col("tick") <= F.lit(now))
+        )
+        # candidate pairs: new docs sharing a hit band key with a
+        # retained doc — band ledger filtered by the broadcast hit set,
+        # never shuffled wholesale
+        cand = (
+            banded.join(F.broadcast(hits), "bkey")
+            .join(
+                band_led.select("bkey", F.col("doc_id").alias("hist_doc_id")),
+                "bkey",
+            )
+            .select("doc_id", "hist_doc_id")
+            .distinct()
+        )
+        # verify with the minhash Jaccard estimate: fetch the candidate
+        # partners' signatures (sig ledger filtered by the candidate doc
+        # set — broadcast semi-filter, columnar scan)
+        hist_ids = cand.select(F.col("hist_doc_id").alias("doc_id")).distinct()
+        sig_led = (
+            spark.read.parquet(sig_path)
+            .where(F.col("shard").isin(done))
+            .join(F.broadcast(hist_ids), "doc_id", "left_semi")
+            .select(F.col("doc_id").alias("hist_doc_id"), F.col("sig").alias("hsig"))
+        )
+        est = F.aggregate(
+            F.zip_with("sig", "hsig", lambda a, b: (a == b).cast("int")),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ) / F.lit(num_hashes)
+        hist_matches = (
+            cand.join(sig, "doc_id")
+            .join(F.broadcast(sig_led), "hist_doc_id")
+            .select("doc_id", "hist_doc_id", est.alias("est_jaccard"))
+            .where(F.col("est_jaccard") >= threshold)
+            .groupBy("doc_id")
+            .agg(F.max(F.struct("est_jaccard", "hist_doc_id")).alias("_best"))
+            .select(
+                "doc_id",
+                F.col("_best.hist_doc_id").alias("hist_doc_id"),
+                F.col("_best.est_jaccard").alias("est_jaccard"),
+            )
+        )
+    else:
+        hist_matches = spark.createDataFrame(
+            [], "doc_id string, hist_doc_id string, est_jaccard double"
+        )
+
+    # ---- intra-shard near-dups (batch LSH within the new shard) ----
+    from .dedup import minhash_lsh_candidates
+
+    intra_cand = minhash_lsh_candidates(
+        sig.select("doc_id", "sig"), bands, rows_per_band
+    )
+    intra_est = F.aggregate(
+        F.zip_with("sa", "sb", lambda a, b: (a == b).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ) / F.lit(num_hashes)
+    intra = (
+        intra_cand
+        .join(sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sa")), "doc_a")
+        .join(sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sb")), "doc_b")
+        .where(intra_est >= threshold)
+        .select(F.col("doc_b").alias("doc_id"))  # larger id loses
+        .distinct()
+        .withColumn("_intra", F.lit(True))
+    )
+
+    ann = (
+        sig.select("doc_id")
+        .join(hist_matches, "doc_id", "left")
+        .join(intra, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("hist_doc_id").isNotNull().alias("is_near_dup_history"),
+            (
+                F.col("hist_doc_id").isNull() & F.col("_intra").isNotNull()
+            ).alias("is_near_dup_intra"),
+            "hist_doc_id",
+            "est_jaccard",
+        )
+    ).localCheckpoint(eager=True)
+
+    if update_state:
+        shard = len(completed_shards(spark, checkpoint_dir))
+        keep = ann.where(
+            ~F.col("is_near_dup_history") & ~F.col("is_near_dup_intra")
+        ).select("doc_id")
+        kept_banded = banded.join(F.broadcast(keep), "doc_id")
+        shaped = kept_banded.select(
+            F.col("doc_id"),
+            F.array("bkey").alias("tokens"),
+            F.lit(1).alias("n_tok"),
+            F.lit(now).cast("long").alias("tick"),
+        )
+        spec = SketchSpec(NEAR_SPEC, kind, params, value="tokens")
+        built = build_sketches(
+            shaped, [spec], group_cols=(), tick_col=F.col("tick"),
+            partitions=partitions,
+        ).where(F.col("spec") == NEAR_SPEC)
+        built.withColumn("shard", F.lit(shard)).selectExpr(
+            "spec", "group", "payload", "n_items", "cast(shard as int) shard"
+        ).write.mode("append").parquet(state_path)
+        kept_banded.select(
+            "bkey", "doc_id", F.lit(now).cast("long").alias("tick"),
+            F.lit(shard).cast("int").alias("shard"),
+        ).write.mode("append").parquet(band_path)
+        sig.join(F.broadcast(keep), "doc_id").select(
+            "doc_id", "sig", F.lit(now).cast("long").alias("tick"),
+            F.lit(shard).cast("int").alias("shard"),
+        ).write.mode("append").parquet(sig_path)
+        counts = ann.agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("is_near_dup_history").cast("long")).alias("h"),
+            F.sum(F.col("is_near_dup_intra").cast("long")).alias("i"),
+        ).collect()[0]
+        n, h, i = int(counts["n"]), int(counts["h"] or 0), int(counts["i"] or 0)
+        meta = {
+            "shard": shard, "now": int(now), "kind": "near_dup",
+            "n_docs": n, "n_near_dup_history": h, "n_near_dup_intra": i,
+            "n_retained": n - h - i,
+        }
+        spark.createDataFrame(
+            [(shard, json.dumps(meta, sort_keys=True))], "shard int, meta string"
+        ).write.mode("append").parquet(lineage_path)
+    return ann
+
+
+def _load_near_state(spark, checkpoint_dir: str):
+    """Merged band-key membership sketch over completed shards (same
+    lineage-gated, merge-all recovery rules as load_dedup_state)."""
+    from ..pipeline import merge_rows_to_sketches
+
+    state_path, _, _, _ = _near_paths(checkpoint_dir)
+    if not os.path.exists(state_path) and os.path.exists(state_path + "_old"):
+        state_path = state_path + "_old"
+    done = [int(m["shard"]) for m in completed_shards(spark, checkpoint_dir)]
+    if not done or not os.path.exists(state_path):
+        return None
+    df = spark.read.parquet(state_path).where(
+        (F.col("shard").isin(done) | (F.col("shard") == -1))
+        & (F.col("spec") == NEAR_SPEC)
+    )
+    merged = merge_rows_to_sketches(df.collect())
+    return merged.get((NEAR_SPEC, ""))

@@ -288,3 +288,67 @@ class TestCompaction:
         )
         assert all(r.is_dup_history for r in q.collect())
         q.unpersist()
+
+
+class TestIncrementalNearDup:
+    """Cross-shard NEAR-dup against checkpointed LSH state (round 4):
+    band-key sketch probe + band/sig ledgers, never re-joining history
+    text."""
+
+    def test_planted_clones_caught_with_certainty(self, spark, docs, ck):
+        from fuggetabouspark.dataops import incremental_near_dup
+
+        a = docs.where("doc_id % 2 = 0")
+        clones = a.where("doc_id % 10 = 0").select(
+            (F.col("doc_id") + 10**9).alias("doc_id"), "text"
+        )
+        b = docs.where("doc_id % 2 = 1").unionByName(clones)
+        ann_a = incremental_near_dup(spark, a, ck, now=1)
+        kept_a = {r.doc_id for r in ann_a.where(
+            "not is_near_dup_history and not is_near_dup_intra").collect()}
+        ann_b = incremental_near_dup(spark, b, ck, now=2)
+        rows_b = {r.doc_id: r for r in ann_b.collect()}
+        planted = {str(r.doc_id) for r in clones.collect()}
+        # every planted clone MUST be flagged: sig(clone) == sig(original),
+        # so either the original is retained (est 1.0) or the original
+        # was itself near-dup'd away and the clone matches that keeper
+        # with the SAME estimate that dropped the original (>= threshold)
+        for p in planted:
+            r = rows_b[p]
+            assert r.is_near_dup_history, p
+            orig = str(int(p) - 10**9)
+            if orig in kept_a:
+                assert abs(r.est_jaccard - 1.0) < 1e-9, (p, r.est_jaccard)
+            else:
+                assert r.est_jaccard >= 0.8
+        for x in (ann_a, ann_b):
+            x.unpersist()
+
+    def test_window_decay_and_intra(self, spark, ck):
+        from fuggetabouspark.dataops import incremental_near_dup
+
+        txt = " ".join(f"w{i}" for i in range(40))
+        from fuggetabouspark.params import TimingParams
+
+        p = TimingParams(capacity=10_000, error=0.001, window_ticks=10)
+        mk = lambda i: spark.createDataFrame([(i, txt)], "doc_id long, text string")
+        a = incremental_near_dup(spark, mk(1), ck, now=1, params=p)
+        assert a.collect()[0].is_near_dup_history is False
+        # in-window clone: flagged
+        b = incremental_near_dup(spark, mk(2), ck, now=5, params=p)
+        assert b.collect()[0].is_near_dup_history is True
+        # decayed: ledger rows out of window, sketch window passed — survives
+        c = incremental_near_dup(spark, mk(3), ck, now=100, params=p)
+        assert c.collect()[0].is_near_dup_history is False
+        # intra: two clones of a text UNRELATED to history in ONE
+        # shard -> larger id flagged intra (txt-derived text would be
+        # a HISTORY near-dup of doc 3 instead — est ~0.95)
+        ztxt = " ".join(f"z{i}" for i in range(40))
+        d = spark.createDataFrame([(10, ztxt), (11, ztxt)],
+                                  "doc_id long, text string")
+        ann = incremental_near_dup(spark, d, ck, now=101, params=p)
+        got = {r.doc_id: (r.is_near_dup_history, r.is_near_dup_intra)
+               for r in ann.collect()}
+        assert got["10"][1] is False and got["11"][1] is True
+        for x in (a, b, c, ann):
+            x.unpersist()
