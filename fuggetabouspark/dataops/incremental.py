@@ -88,7 +88,8 @@ def load_dedup_state(spark, checkpoint_dir: str):
     # shard -1 is the compacted row: produced exclusively from
     # already-completed shards, so it is valid without a lineage entry
     df = spark.read.parquet(state_path).where(
-        F.col("shard").isin(done) | (F.col("shard") == -1)
+        (F.col("shard").isin(done) | (F.col("shard") == -1))
+        & (F.col("spec") == DEDUP_SPEC)
     )
     merged = merge_rows_to_sketches(df.collect())
     return merged.get((DEDUP_SPEC, ""))
@@ -493,11 +494,18 @@ NEAR_ANNOTATED_DDL = (
 
 
 def _near_paths(checkpoint_dir: str) -> tuple[str, str, str, str]:
+    """All near-dup state lives under <checkpoint_dir>/near — its OWN
+    sketch_state and lineage, fully disjoint from incremental_dedup's
+    (code-review r04: a shared sketch_state dir meant exact-dedup
+    compaction would atomically replace the directory and destroy the
+    band sketch; shared lineage let one operator's committed shard
+    number validate the other's half-committed orphan rows)."""
+    base = os.path.join(checkpoint_dir, "near")
     return (
-        os.path.join(checkpoint_dir, "sketch_state"),
-        os.path.join(checkpoint_dir, "band_ledger"),
-        os.path.join(checkpoint_dir, "sig_ledger"),
-        os.path.join(checkpoint_dir, "lineage"),
+        os.path.join(base, "sketch_state"),
+        os.path.join(base, "band_ledger"),
+        os.path.join(base, "sig_ledger"),
+        os.path.join(base, "lineage"),
     )
 
 
@@ -544,9 +552,11 @@ def incremental_near_dup(
     doc with smaller doc_id matches ≥ threshold and the doc is not
     already a history dup), hist_doc_id = best-matching historical doc
     (max est_jaccard, ties → max doc_id), est_jaccard = that match's
-    estimate. Share a checkpoint_dir with incremental_dedup freely:
-    the sketch spec name and ledger dirs are disjoint, lineage is
-    shared (shard numbering interleaves)."""
+    estimate. A checkpoint_dir may be shared with incremental_dedup:
+    ALL near-dup state (including its lineage) lives under
+    <checkpoint_dir>/near, fully disjoint from the exact-dedup state,
+    so neither operator's compaction, shard numbering, or recovery can
+    touch the other's (code-review r04)."""
     from ..params import ScalingParams, TimingParams
     from ..pipeline import SketchSpec, build_sketches
     from ..queries import _with_window, seen_within_distributed, sk_window
@@ -590,7 +600,7 @@ def incremental_near_dup(
             .select(F.col("key").alias("bkey"))
             .distinct()
         )
-        done = [int(m["shard"]) for m in completed_shards(spark, checkpoint_dir)]
+        done = [int(m["shard"]) for m in _near_completed(spark, checkpoint_dir)]
         band_led = spark.read.parquet(band_path).where(
             (F.col("shard").isin(done))
             & (F.col("tick") >= F.lit(now - w + 1)) & (F.col("tick") <= F.lit(now))
@@ -651,15 +661,31 @@ def incremental_near_dup(
         F.lit(0),
         lambda acc, x: acc + x,
     ) / F.lit(num_hashes)
-    intra = (
+    # chain-safe keep-one (code-review r04: pairwise "larger id
+    # loses" could delete BOTH ends of a chain): verified pairs form
+    # transitive clusters via connected components — the same
+    # clustering the batch pipeline uses — and each cluster retains
+    # exactly its min doc_id. One-hop-chain caveat, identical to the
+    # batch keep-cluster-min semantics: if the cluster min is itself a
+    # history dup, the cluster is treated as covered through it.
+    from .dedup import connected_components
+
+    intra_pairs = (
         intra_cand
         .join(sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sa")), "doc_a")
         .join(sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sb")), "doc_b")
         .where(intra_est >= threshold)
-        .select(F.col("doc_b").alias("doc_id"))  # larger id loses
-        .distinct()
-        .withColumn("_intra", F.lit(True))
-    )
+        .select("doc_a", "doc_b")
+    ).localCheckpoint(eager=True)
+    if intra_pairs.limit(1).count() == 0:
+        intra = spark.createDataFrame([], "doc_id string, _intra boolean")
+    else:
+        intra = (
+            connected_components(intra_pairs)
+            .where(F.col("node") != F.col("comp"))
+            .select(F.col("node").alias("doc_id"))
+            .withColumn("_intra", F.lit(True))
+        )
 
     ann = (
         sig.select("doc_id")
@@ -677,7 +703,7 @@ def incremental_near_dup(
     ).localCheckpoint(eager=True)
 
     if update_state:
-        shard = len(completed_shards(spark, checkpoint_dir))
+        shard = len(_near_completed(spark, checkpoint_dir))
         keep = ann.where(
             ~F.col("is_near_dup_history") & ~F.col("is_near_dup_intra")
         ).select("doc_id")
@@ -721,6 +747,15 @@ def incremental_near_dup(
     return ann
 
 
+def _near_completed(spark, checkpoint_dir: str) -> list[dict]:
+    """Near-dup lineage metadata (its OWN lineage dir under near/)."""
+    _, _, _, lineage_path = _near_paths(checkpoint_dir)
+    if not os.path.exists(lineage_path):
+        return []
+    rows = spark.read.parquet(lineage_path).collect()
+    return sorted((json.loads(r["meta"]) for r in rows), key=lambda m: m["shard"])
+
+
 def _load_near_state(spark, checkpoint_dir: str):
     """Merged band-key membership sketch over completed shards (same
     lineage-gated, merge-all recovery rules as load_dedup_state)."""
@@ -729,7 +764,7 @@ def _load_near_state(spark, checkpoint_dir: str):
     state_path, _, _, _ = _near_paths(checkpoint_dir)
     if not os.path.exists(state_path) and os.path.exists(state_path + "_old"):
         state_path = state_path + "_old"
-    done = [int(m["shard"]) for m in completed_shards(spark, checkpoint_dir)]
+    done = [int(m["shard"]) for m in _near_completed(spark, checkpoint_dir)]
     if not done or not os.path.exists(state_path):
         return None
     df = spark.read.parquet(state_path).where(

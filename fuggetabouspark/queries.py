@@ -16,9 +16,12 @@ from .sketches import Sketch, sketch_from_bytes
 SEEN_DDL = "group string, key long, seen boolean"
 
 # worker-process-level cache of deserialized probe sketches, keyed on
-# a content hash of the state payloads (see seen_within_distributed)
-# — at most one entry
+# a content hash of the state payloads (see seen_within_distributed).
+# Capacity 2, not 1: an ingest pipeline probes TWO states per batch
+# (exact-dedup fps + near-dup band keys — code-review r04), and a
+# single slot would thrash between them, re-inflating every trigger.
 _PROBE_SKETCH_CACHE: dict = {}
+_PROBE_CACHE_SLOTS = 2
 
 
 def seen_within(
@@ -129,7 +132,9 @@ def seen_within_distributed(
         sks = _q._PROBE_SKETCH_CACHE.get(cache_key)
         if sks is None:
             sks = [(g, sketch_from_bytes(p)) for g, p in bc.value]
-            _q._PROBE_SKETCH_CACHE.clear()  # keep exactly one state-set
+            while len(_q._PROBE_SKETCH_CACHE) >= _q._PROBE_CACHE_SLOTS:
+                # evict oldest (dict preserves insertion order)
+                _q._PROBE_SKETCH_CACHE.pop(next(iter(_q._PROBE_SKETCH_CACHE)))
             _q._PROBE_SKETCH_CACHE[cache_key] = sks
         if not sks:  # no groups for this spec: skip hashing entirely
             return
