@@ -131,6 +131,22 @@ def main(sf_dir: str) -> None:
     )
     ann = incremental_dedup(spark, day2, ck, now=2, params=tp, partitions=8)
     n_blocked = ann.where("is_dup_history").count()
+
+    # ... and its NEAR-dup sibling: day-2 docs that are only ALMOST
+    # re-crawls (trailing edit) still probe the checkpointed LSH band
+    # state instead of re-joining day-1 text
+    from fuggetabouspark.dataops import incremental_near_dup
+
+    incremental_near_dup(spark, docs, ck, now=1, params=tp, partitions=8).unpersist()
+    day2n = docs.limit(50).select(
+        (F.col("doc_id") + 2 * 10**9).alias("doc_id"),
+        F.concat_ws(" ", "text", F.lit("minor trailing edit")).alias("text"),
+    )
+    ann_n = incremental_near_dup(
+        spark, day2n, ck, now=2, params=tp, partitions=8,
+        threshold=0.7, update_state=False,
+    )
+    n_near_blocked = ann_n.where("is_near_dup_history").count()
     shutil.rmtree(ck, ignore_errors=True)
 
     # 5. tokenize (JVM-side) + 6. pack into 256-token sequences
@@ -164,6 +180,7 @@ def main(sf_dir: str) -> None:
     print(f"after near-dup:   {n3}")
     print(f"passage tokens:   {n_passage_tokens} removed (repeated >=20-token spans)")
     print(f"day-2 re-crawl:   {n_blocked}/50 blocked by the checkpointed state")
+    print(f"day-2 near-crawl: {n_near_blocked}/50 edited re-crawls blocked (LSH state)")
     print(f"packed sequences: {n_seqs} x 256 tokens")
     print(f"tokens sketched:  {n_tokens} ({len(sks)} sketch states, "
           f"{len(lineage)} lineage rows)")
