@@ -31,6 +31,9 @@ from .dedup import (
 )
 from .incremental import (
     StreamingIngestGuard,
+    compact_dedup_checkpoint,
+    compact_near_checkpoint,
+    expire_ledgers,
     incremental_near_dup,
     completed_shards as dedup_completed_shards,
     incremental_dedup,
@@ -85,4 +88,7 @@ __all__ = [
     "dedup_completed_shards",
     "StreamingIngestGuard",
     "incremental_near_dup",
+    "compact_dedup_checkpoint",
+    "compact_near_checkpoint",
+    "expire_ledgers",
 ]
