@@ -1044,6 +1044,122 @@ def q_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_near_dup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup RECALL on PERTURBED clones (round 5,
+    VERDICT r04 #8 — the 1.00-recall drive previously lived only in
+    pytest). Construction: every even doc with doc_id % PLANT_MOD == 0
+    and >= 30 words gets a clone with TWO unique junk words appended
+    ("zqa<id> zqb<id>"), giving a worst-case 3-gram shingle Jaccard of
+    s/(s+2) >= 0.93 on this corpus — far above the 0.7 query
+    threshold, so a missed clone means a broken signature/LSH/verify
+    path, not bad luck (P[miss] < 1e-9 per doc at J=0.93, 64 hashes,
+    16x4 bands; seeds are fixed so the outcome is reproducible).
+
+    Cross-engine pins: n_planted and min_jac_permille — BOTH engines
+    independently build the 3-gram shingle sets of original vs clone
+    and compute floor(1000*|∩|/|∪|), verifying the perturbation
+    construction itself, not just doc counts. The two booleans are
+    bound-verdict claims (oracle emits TRUE): recall_ok = every
+    eligible clone (original retained in shard A) flagged as a history
+    near-dup, some_eligible = the claim is not vacuous."""
+    import shutil
+    import tempfile
+
+    from fuggetabouspark.dataops import incremental_near_dup
+    from fuggetabouspark.params import TimingParams
+
+    _ship(spark)
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    ws = F.split(F.col("text"), " ")
+    planted_cond = (
+        (F.col("doc_id") % 2 == 0)
+        & (F.col("doc_id") % PLANT_MOD == 0)
+        & (F.size(ws) >= 30)
+    )
+    junk = F.concat_ws(
+        " ",
+        F.col("text"),
+        F.concat(F.lit("zqa"), F.col("doc_id").cast("string")),
+        F.concat(F.lit("zqb"), F.col("doc_id").cast("string")),
+    )
+    shard_a = docs.where(F.col("doc_id") % 2 == 0)
+    clones = docs.where(planted_cond).select(
+        (F.col("doc_id") + PLANT_OFFSET).alias("doc_id"), junk.alias("text")
+    )
+    shard_b = docs.where(F.col("doc_id") % 2 == 1).unionByName(clones)
+
+    # cross-engine construction pin: exact 3-gram shingle Jaccard of
+    # each (original, perturbed clone) pair, worst case over the plant
+    def shingles(words):
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(words) - 2),
+                lambda i: F.concat_ws(
+                    "\x1f",
+                    F.element_at(words, i),
+                    F.element_at(words, i + 1),
+                    F.element_at(words, i + 2),
+                ),
+            )
+        )
+
+    pair_stats = (
+        docs.where(planted_cond)
+        .select(shingles(ws).alias("so"), shingles(F.split(junk, " ")).alias("sc"))
+        .agg(
+            F.count("*").alias("n_planted"),
+            F.min(
+                F.floor(
+                    F.lit(1000)
+                    * F.size(F.array_intersect("so", "sc"))
+                    / F.size(F.array_union("so", "sc"))
+                )
+            ).cast("long").alias("min_jac_permille"),
+        )
+        .collect()[0]
+    )
+
+    ck = tempfile.mkdtemp(prefix="fgs_incr_recall_")
+    p = TimingParams(capacity=50_000, error=0.001, window_ticks=2**31)
+    try:
+        ann_a = incremental_near_dup(
+            spark, shard_a, ck, now=1, threshold=0.7, partitions=8, params=p
+        )
+        retained_a = {
+            r["doc_id"]
+            for r in ann_a.where(
+                "not is_near_dup_history and not is_near_dup_intra"
+            ).select("doc_id").collect()
+        }
+        ann_a.unpersist()
+        ann_b = incremental_near_dup(
+            spark, shard_b, ck, now=2, threshold=0.7, partitions=8, params=p
+        )
+        flagged = {
+            r["doc_id"]
+            for r in ann_b.where("is_near_dup_history").select("doc_id").collect()
+        }
+        ann_b.unpersist()
+    finally:
+        shutil.rmtree(ck, ignore_errors=True)
+    planted = {
+        str(r["doc_id"]) for r in docs.where(planted_cond).select("doc_id").collect()
+    }
+    eligible = [orig for orig in planted if orig in retained_a]
+    recall_ok = all(
+        str(int(orig) + PLANT_OFFSET) in flagged for orig in eligible
+    )
+    return spark.createDataFrame(
+        [(
+            int(pair_stats["n_planted"]),
+            int(pair_stats["min_jac_permille"]),
+            bool(eligible),
+            bool(recall_ok),
+        )],
+        "n_planted long, min_jac_permille long, some_eligible boolean, recall_ok boolean",
+    )
+
+
 def q_mask_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Passage-REMOVAL verdict (round 4): same planted construction as
     repeated_passages (60-word 'rp*' paragraph appended to the 8 docs
@@ -1234,6 +1350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "incremental_dedup": q_incremental_dedup,
         "incremental_near_dup": q_incremental_near_dup,
+        "incremental_near_dup_recall": q_incremental_near_dup_recall,
         "repeated_passages": q_repeated_passages,
         "mask_passages": q_mask_passages,
         "ann_topk_cosine": q_ann_topk_cosine,
@@ -1516,6 +1633,39 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS all_covered,
                    TRUE AS doc0_clone_caught
             FROM documents
+        """,
+        "incremental_near_dup_recall": f"""
+            WITH p AS (
+                SELECT doc_id,
+                       string_split(text, ' ') AS wo,
+                       string_split(
+                           text || ' zqa' || CAST(doc_id AS VARCHAR)
+                                || ' zqb' || CAST(doc_id AS VARCHAR), ' '
+                       ) AS wc
+                FROM documents
+                WHERE doc_id % 2 = 0 AND doc_id % {PLANT_MOD} = 0
+                  AND len(string_split(text, ' ')) >= 30
+            ),
+            sh AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, len(wo) - 1),
+                           i -> wo[i] || chr(31) || wo[i+1] || chr(31) || wo[i+2]
+                       )) AS so,
+                       list_distinct(list_transform(
+                           range(1, len(wc) - 1),
+                           i -> wc[i] || chr(31) || wc[i+1] || chr(31) || wc[i+2]
+                       )) AS sc
+                FROM p
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_planted,
+                   CAST(min(floor(
+                       1000.0 * len(list_intersect(so, sc))
+                       / len(list_distinct(list_concat(so, sc)))
+                   )) AS BIGINT) AS min_jac_permille,
+                   TRUE AS some_eligible,
+                   TRUE AS recall_ok
+            FROM sh
         """,
         "mask_passages": """
             SELECT CAST(count(*) AS BIGINT) AS n_docs,
