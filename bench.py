@@ -275,13 +275,26 @@ def run_headline(cpus: int, sf_dir: str) -> dict:
     extras["incremental_docs_per_sec"] = round(n_day2 / q["incremental_recrawl_200k"])
 
     # repeated-passage removal at corpus scale: detect + mask over the
-    # rendered token stream (35 M tokens); positions table is the one
-    # fp shuffle, the mask itself is JVM array algebra
+    # rendered token stream (35 M tokens). Round 5 (VERDICT r04 #5):
+    # the synthetic corpus has no natural 50-token repeats, so ~5% of
+    # docs get one of 4 fixed 60-word boilerplate paragraphs appended
+    # (each shared by ~2.5k docs) — the drops join and the per-token
+    # exists filter now process a REAL repeated set instead of an
+    # empty one, and mask_tokens_removed must come out > 0
     from fuggetabouspark.dataops import mask_repeated_passages
 
+    paras = [" ".join(f"bp{k}w{i}" for i in range(60)) for k in range(4)]
+    h = F.pmod(F.xxhash64("doc_id"), F.lit(80))
+    boiler = F.when(
+        h < 4, F.element_at(F.array(*[F.lit(p) for p in paras]), (h + 1).cast("int"))
+    )
     mtext = mdf.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         F.array_join(F.col("tokens").cast("array<string>"), " ").alias("text"),
+    ).select(
+        "doc_id",
+        F.when(boiler.isNotNull(), F.concat_ws(" ", F.col("text"), boiler))
+        .otherwise(F.col("text")).alias("text"),
     )
     q["mask_passages_200k_docs"], removed = _best(
         lambda: mask_repeated_passages(mtext, window=50)
