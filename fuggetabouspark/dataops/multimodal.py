@@ -6,7 +6,7 @@ round 1):
 
 - **REAL codecs, zero external deps** for container-friendly formats:
   WAV (RIFF/PCM16 — 44-byte header + samples), PPM (P6 — ASCII header
-  + raw RGB), and — round 4 — PNG (8-bit truecolor: chunk walk, zlib
+  + raw RGB), and PNG (8-bit gray/palette/RGB/alpha: chunk walk, zlib
   inflate, all five scanline unfilters incl. Paeth) are parsed/emitted
   with stdlib struct/zlib + numpy only.
   ``decode_and_featurize(..., fake=False)`` genuinely decodes these
@@ -134,23 +134,12 @@ def _paeth_pred(left: np.ndarray, up: np.ndarray, ul: np.ndarray) -> np.ndarray:
     ).astype(np.uint8)
 
 
-def encode_png(img: np.ndarray, cycle_filters: bool = True) -> bytes:
-    """8-bit truecolor (RGB) PNG writer — stdlib zlib + numpy only
-    (round 4, VERDICT r03 #5: PNG is NOT codec-bound — it is zlib,
-    which sketches/base.py already depends on, plus per-row filters).
-
-    ``cycle_filters`` picks filter type row % 5, so a roundtrip through
-    decode_png exercises every unfilter branch (None/Sub/Up/Average/
-    Paeth), not just the lazy all-zeros encoding."""
-    import zlib
-
-    img = np.asarray(img, dtype=np.uint8)
-    h, w, c = img.shape
-    if c != 3:
-        raise ValueError("encode_png writes RGB: expected (H, W, 3)")
-    bpp = 3
-    rows = img.reshape(h, w * bpp)
-    zero = np.zeros(w * bpp, np.uint8)
+def _filter_rows(rows: np.ndarray, bpp: int, cycle_filters: bool) -> bytes:
+    """Shared PNG scanline filtering (RFC 2083 §6) over (h, w*bpp)
+    uint8 rows; ``cycle_filters`` picks filter type row % 5 so a
+    roundtrip exercises every unfilter branch."""
+    h = rows.shape[0]
+    zero = np.zeros(rows.shape[1], np.uint8)
     out = []
     for r in range(h):
         cur = rows[r]
@@ -169,28 +158,88 @@ def encode_png(img: np.ndarray, cycle_filters: bool = True) -> bytes:
         else:
             filt = cur - _paeth_pred(left, prev, ul)
         out.append(bytes([ft]) + filt.tobytes())
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    return b"".join(out)
+
+
+# channel count per supported 8-bit color type (RFC 2083 §4.1.1):
+# 0 grayscale, 2 truecolor, 3 palette indices, 4 gray+alpha, 6 RGBA
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+_PNG_TYPE_FOR_SHAPE = {1: 0, 2: 4, 3: 2, 4: 6}
+
+
+def encode_png(img: np.ndarray, cycle_filters: bool = True) -> bytes:
+    """8-bit PNG writer — stdlib zlib + numpy only (round 4, VERDICT
+    r03 #5: PNG is NOT codec-bound — it is zlib, which sketches/base.py
+    already depends on, plus per-row filters). The color type follows
+    the array shape (round 5, VERDICT r04 #7): (H, W) or (H, W, 1) →
+    grayscale, (H, W, 2) → gray+alpha, (H, W, 3) → truecolor RGB,
+    (H, W, 4) → RGBA. For palette images use encode_png_indexed.
+
+    ``cycle_filters`` picks filter type row % 5, so a roundtrip through
+    decode_png exercises every unfilter branch (None/Sub/Up/Average/
+    Paeth), not just the lazy all-zeros encoding."""
+    import zlib
+
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    if c not in _PNG_TYPE_FOR_SHAPE:
+        raise ValueError(f"encode_png: unsupported channel count {c}")
+    ctype_i = _PNG_TYPE_FOR_SHAPE[c]
+    body = _filter_rows(img.reshape(h, w * c), c, cycle_filters)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype_i, 0, 0, 0)
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(b"".join(out)))
+        + _png_chunk(b"IDAT", zlib.compress(body))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def encode_png_indexed(
+    indices: np.ndarray, palette: np.ndarray, cycle_filters: bool = True
+) -> bytes:
+    """8-bit palette (color type 3) PNG writer: ``indices`` is (H, W)
+    uint8 into ``palette`` (N ≤ 256, 3) RGB rows, written as a PLTE
+    chunk; scanlines filter over the 1-byte index lanes."""
+    import zlib
+
+    indices = np.asarray(indices, dtype=np.uint8)
+    palette = np.asarray(palette, dtype=np.uint8)
+    if indices.ndim != 2 or palette.ndim != 2 or palette.shape[1] != 3:
+        raise ValueError("encode_png_indexed: indices (H, W), palette (N, 3)")
+    if palette.shape[0] > 256 or int(indices.max(initial=0)) >= palette.shape[0]:
+        raise ValueError("palette must have ≤ 256 entries covering every index")
+    h, w = indices.shape
+    body = _filter_rows(indices.reshape(h, w), 1, cycle_filters)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", palette.tobytes())
+        + _png_chunk(b"IDAT", zlib.compress(body))
         + _png_chunk(b"IEND", b"")
     )
 
 
 def decode_png(buf: bytes) -> np.ndarray:
-    """(H, W, 3) uint8 from an 8-bit truecolor non-interlaced PNG —
-    full chunk walk (multi-IDAT safe), zlib inflate, and all five
-    scanline unfilters. Sub/Up vectorize per row (Sub is a mod-256
-    cumulative sum over per-channel lanes); Average/Paeth carry a
-    left-dependency, so those rows fall back to a per-pixel loop —
-    correctness first, and filtered rows are a minority in practice."""
+    """uint8 image from an 8-bit non-interlaced PNG — full chunk walk
+    (multi-IDAT safe), zlib inflate, and all five scanline unfilters.
+    Supported color types (round 5, VERDICT r04 #7): 0 grayscale →
+    (H, W), 2 truecolor → (H, W, 3), 3 palette → (H, W, 3) via a PLTE
+    LUT gather, 4 gray+alpha → (H, W, 2), 6 RGBA → (H, W, 4).
+    Sub/Up vectorize per row (Sub is a mod-256 cumulative sum over
+    per-channel lanes); Average/Paeth carry a left-dependency, so those
+    rows fall back to a per-pixel loop — correctness first, and
+    filtered rows are a minority in practice."""
     import zlib
 
     if buf[: len(_PNG_SIG)] != _PNG_SIG:
         raise ValueError("not a PNG buffer")
     pos, w = len(_PNG_SIG), None
     idat = []
+    plte = None
     # truncated/corrupt buffers must fail as ValueError, not leak
     # struct.error / zlib.error (code-review r04 — the same contract
     # sketch_from_bytes got this round)
@@ -203,11 +252,20 @@ def decode_png(buf: bytes) -> np.ndarray:
                 w, h, depth, ctype_i, comp, filt, interlace = struct.unpack(">IIBBBBB", data)
             except struct.error as e:
                 raise ValueError(f"truncated PNG IHDR: {e}") from e
-            if (depth, ctype_i, comp, filt, interlace) != (8, 2, 0, 0, 0):
+            if (
+                depth != 8
+                or ctype_i not in _PNG_CHANNELS
+                or (comp, filt, interlace) != (0, 0, 0)
+            ):
                 raise ValueError(
-                    "only 8-bit truecolor non-interlaced PNG supported, got "
-                    f"depth={depth} color={ctype_i} interlace={interlace}"
+                    "only 8-bit non-interlaced PNG (color types 0/2/3/4/6) "
+                    f"supported, got depth={depth} color={ctype_i} "
+                    f"interlace={interlace}"
                 )
+        elif ctype == b"PLTE":
+            if sz % 3 or sz == 0 or sz > 256 * 3:
+                raise ValueError(f"malformed PLTE chunk of {sz} bytes")
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
             idat.append(data)
         elif ctype == b"IEND":
@@ -219,7 +277,8 @@ def decode_png(buf: bytes) -> np.ndarray:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error as e:
         raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
-    bpp, stride = 3, w * 3
+    bpp = _PNG_CHANNELS[ctype_i]
+    stride = w * bpp
     if len(raw) != h * (1 + stride):
         raise ValueError(f"PNG payload is {len(raw)} bytes, expected {h * (1 + stride)}")
     raw = np.frombuffer(raw, np.uint8).reshape(h, 1 + stride)
@@ -259,7 +318,19 @@ def decode_png(buf: bytes) -> np.ndarray:
                 ul = p2[x]
         else:
             raise ValueError(f"unknown PNG filter type {ft}")
-    return recon.reshape(h, w, 3)
+    if ctype_i == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE chunk")
+        idx = recon.reshape(h, w)
+        if int(idx.max(initial=0)) >= plte.shape[0]:
+            raise ValueError(
+                f"palette index {int(idx.max())} out of range "
+                f"for {plte.shape[0]}-entry PLTE"
+            )
+        return plte[idx]  # one LUT gather → (H, W, 3)
+    if ctype_i == 0:
+        return recon.reshape(h, w)
+    return recon.reshape(h, w, bpp)
 
 
 # --------------------------------------------------------------------
