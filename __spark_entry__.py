@@ -1219,17 +1219,16 @@ def q_incremental_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()[0]["s"]
         )
         n_b = ann_b.count()
-        ann_b.unpersist()
-        clean_b = mask_against_history(
-            spark, shard_b, ck, now=2, window=50, params=p, partitions=8,
-            update_state=False,
-        )
+        # reuse the annotation for masking — no second kernel+probe
+        # pass (code-review r05 #5)
+        clean_b = mask_against_history(spark, shard_b, window=50, ann=ann_b)
         ip_words = F.filter(
             F.split("text_clean", " "), lambda w: w.rlike("^ip[0-9]+$")
         )
         ip_left = clean_b.agg(
             F.sum(F.size(ip_words)).cast("long").alias("s")
         ).collect()[0]["s"]
+        ann_b.unpersist()
     finally:
         shutil.rmtree(ck, ignore_errors=True)
     n_planted_b = docs.where(plant(1)).count()

@@ -573,13 +573,16 @@ def run_shard_flatness(n_shards: int = 64, docs_per_shard: int = 1000) -> dict:
 
 
 _SHARDS_HEADER = "## Incremental ingest flatness (64 consecutive shards)"
+_SHARDS_BEGIN = "<!-- shards:begin -->"
+_SHARDS_END = "<!-- shards:end -->"
 
 
 def shards_md(d: dict) -> str:
     import statistics
 
     med = statistics.median(d["per_shard_sec"])
-    return f"""{_SHARDS_HEADER}
+    return f"""{_SHARDS_BEGIN}
+{_SHARDS_HEADER}
 
 `python bench.py --shards`: {d['n_shards']} consecutive
 StreamingIngestGuard ingests of {d['docs_per_shard']:,} docs each
@@ -604,16 +607,25 @@ history growth, not maintenance placement.
 | final fp-ledger rows | {d['ledger_rows_final']:,} (≈ in-window retained, not all-docs-ever) |
 
 Per-shard seconds: {d['per_shard_sec']}
+{_SHARDS_END}
 """
 
 
 def _merge_shards_section(md: str) -> str:
-    """BASELINE.md body with any existing shard-flatness section
-    replaced by the one in BENCH/shards.json (if present)."""
-    if _SHARDS_HEADER in md:
+    """BASELINE.md body with the marker-delimited shard-flatness
+    section replaced by the one in BENCH/shards.json (if present).
+    Markers, not a tail-truncating split: content after the section
+    must survive a --shards rerun, and a fresh file gets a title
+    (code-review r05)."""
+    if _SHARDS_BEGIN in md and _SHARDS_END in md:
+        pre, rest = md.split(_SHARDS_BEGIN, 1)
+        md = pre.rstrip() + "\n" + rest.split(_SHARDS_END, 1)[1].lstrip("\n")
+    elif _SHARDS_HEADER in md:  # pre-marker format: section was last
         md = md.split(_SHARDS_HEADER)[0].rstrip() + "\n"
     path = os.path.join(REPO, "BENCH", "shards.json")
     if os.path.exists(path):
+        if not md.strip():
+            md = "# BENCH/BASELINE — measured results\n"
         with open(path) as f:
             md = md.rstrip() + "\n\n" + shards_md(json.load(f))
     return md

@@ -89,6 +89,50 @@ def _swap_dir(write_fn, path: str) -> None:
     shutil.rmtree(old, ignore_errors=True)
 
 
+def _heal_swap(path: str) -> None:
+    """Finish a crashed _swap_dir before APPENDING to ``path``: if only
+    the _old copy exists, restore it as the primary. A plain
+    mode('append') write would otherwise recreate the primary
+    directory containing ONLY the new rows — _read_swap then prefers
+    it, shadowing the whole history in _old, and the next expiry
+    rmtree's _old forever (code-review r05). Readers never heal (no
+    mutation on a query path); every state/ledger writer must call
+    this first."""
+    if not os.path.exists(path) and os.path.exists(path + "_old"):
+        os.rename(path + "_old", path)
+
+
+def _completed_metas(spark, lineage_path: str) -> list[dict]:
+    """Lineage metadata of completed shards at ``lineage_path``, in
+    shard order — shared by all three incremental operators
+    (code-review r05: the recovery rules must live once)."""
+    if not os.path.exists(lineage_path):
+        return []
+    rows = spark.read.parquet(lineage_path).collect()
+    return sorted((json.loads(r["meta"]) for r in rows), key=lambda m: m["shard"])
+
+
+def _load_sketch_state(spark, state_path: str, done: list[int], spec: str):
+    """Merged membership sketch over the completed shards' rows (plus
+    the always-valid shard=-1 compacted row), with the _old fallback
+    for a compaction that crashed mid-swap — the single implementation
+    behind all three operators' state loaders. Merge-all within the
+    completed set: union-only monoids are one-sided safe under
+    crash-retried shard ids (see load_dedup_state's docstring)."""
+    from ..pipeline import merge_rows_to_sketches
+
+    if not os.path.exists(state_path) and os.path.exists(state_path + "_old"):
+        state_path = state_path + "_old"
+    if not done or not os.path.exists(state_path):
+        return None
+    df = spark.read.parquet(state_path).where(
+        (F.col("shard").isin(done) | (F.col("shard") == -1))
+        & (F.col("spec") == spec)
+    )
+    merged = merge_rows_to_sketches(df.collect())
+    return merged.get((spec, ""))
+
+
 def _done_shards(metas: list[dict], exclude_epoch) -> list[int]:
     """Completed shard ids, optionally excluding shards committed by a
     prior ATTEMPT of the same stream epoch: when a multi-operator guard
@@ -128,22 +172,9 @@ def load_dedup_state(spark, checkpoint_dir: str, exclude_epoch=None):
     compacted row because compaction only runs after an epoch FULLY
     commits, so a same-epoch shard can never have been folded into it
     by the time a replay needs the exclusion."""
-    from ..pipeline import merge_rows_to_sketches
-
     state_path, _, _ = _paths(checkpoint_dir)
-    if not os.path.exists(state_path) and os.path.exists(state_path + "_old"):
-        state_path = state_path + "_old"  # compaction crashed mid-swap
     done = _done_shards(completed_shards(spark, checkpoint_dir), exclude_epoch)
-    if not done or not os.path.exists(state_path):
-        return None
-    # shard -1 is the compacted row: produced exclusively from
-    # already-completed shards, so it is valid without a lineage entry
-    df = spark.read.parquet(state_path).where(
-        (F.col("shard").isin(done) | (F.col("shard") == -1))
-        & (F.col("spec") == DEDUP_SPEC)
-    )
-    merged = merge_rows_to_sketches(df.collect())
-    return merged.get((DEDUP_SPEC, ""))
+    return _load_sketch_state(spark, state_path, done, DEDUP_SPEC)
 
 
 def compact_dedup_checkpoint(spark, checkpoint_dir: str):
@@ -253,11 +284,7 @@ def expire_ledgers(
 
 def completed_shards(spark, checkpoint_dir: str) -> list[dict]:
     """Lineage metadata of completed ingests, in shard order."""
-    _, _, lineage_path = _paths(checkpoint_dir)
-    if not os.path.exists(lineage_path):
-        return []
-    rows = spark.read.parquet(lineage_path).collect()
-    return sorted((json.loads(r["meta"]) for r in rows), key=lambda m: m["shard"])
+    return _completed_metas(spark, _paths(checkpoint_dir)[2])
 
 
 def annotate_against_history(
@@ -433,7 +460,11 @@ def incremental_dedup(
         ).where(F.col("spec") == DEDUP_SPEC)
         # durability order mirrors state.build_resumable: sketch rows
         # first, ledger second, lineage LAST — a shard is only complete
-        # once everything before its lineage row is durable
+        # once everything before its lineage row is durable. Heal any
+        # crashed expiry/compaction swap first: appending to a missing
+        # primary dir would shadow the _old history (code-review r05)
+        _heal_swap(state_path)
+        _heal_swap(ledger_path)
         built.withColumn("shard", F.lit(shard)).selectExpr(
             "spec", "group", "payload", "n_items", "cast(shard as int) shard"
         ).write.mode("append").parquet(state_path)
@@ -948,6 +979,8 @@ def incremental_near_dup(
             shaped, [spec], group_cols=(), tick_col=F.col("tick"),
             partitions=partitions,
         ).where(F.col("spec") == NEAR_SPEC)
+        for _pth in (state_path, band_path, sig_path):
+            _heal_swap(_pth)  # see incremental_dedup (code-review r05)
         built.withColumn("shard", F.lit(shard)).selectExpr(
             "spec", "group", "payload", "n_items", "cast(shard as int) shard"
         ).write.mode("append").parquet(state_path)
@@ -983,31 +1016,17 @@ def incremental_near_dup(
 
 def _near_completed(spark, checkpoint_dir: str) -> list[dict]:
     """Near-dup lineage metadata (its OWN lineage dir under near/)."""
-    _, _, _, lineage_path = _near_paths(checkpoint_dir)
-    if not os.path.exists(lineage_path):
-        return []
-    rows = spark.read.parquet(lineage_path).collect()
-    return sorted((json.loads(r["meta"]) for r in rows), key=lambda m: m["shard"])
+    return _completed_metas(spark, _near_paths(checkpoint_dir)[3])
 
 
 def _load_near_state(spark, checkpoint_dir: str, exclude_epoch=None):
     """Merged band-key membership sketch over completed shards (same
     lineage-gated, merge-all recovery + same-epoch-exclusion rules as
-    load_dedup_state)."""
-    from ..pipeline import merge_rows_to_sketches
-
-    state_path, _, _, _ = _near_paths(checkpoint_dir)
-    if not os.path.exists(state_path) and os.path.exists(state_path + "_old"):
-        state_path = state_path + "_old"
+    load_dedup_state — one implementation, _load_sketch_state)."""
     done = _done_shards(_near_completed(spark, checkpoint_dir), exclude_epoch)
-    if not done or not os.path.exists(state_path):
-        return None
-    df = spark.read.parquet(state_path).where(
-        (F.col("shard").isin(done) | (F.col("shard") == -1))
-        & (F.col("spec") == NEAR_SPEC)
+    return _load_sketch_state(
+        spark, _near_paths(checkpoint_dir)[0], done, NEAR_SPEC
     )
-    merged = merge_rows_to_sketches(df.collect())
-    return merged.get((NEAR_SPEC, ""))
 
 
 def compact_near_checkpoint(spark, checkpoint_dir: str):
@@ -1056,31 +1075,17 @@ def _passage_paths(checkpoint_dir: str) -> tuple[str, str, str]:
 
 
 def _passage_completed(spark, checkpoint_dir: str) -> list[dict]:
-    _, _, lineage_path = _passage_paths(checkpoint_dir)
-    if not os.path.exists(lineage_path):
-        return []
-    rows = spark.read.parquet(lineage_path).collect()
-    return sorted((json.loads(r["meta"]) for r in rows), key=lambda m: m["shard"])
+    return _completed_metas(spark, _passage_paths(checkpoint_dir)[2])
 
 
 def _load_passage_state(spark, checkpoint_dir: str, exclude_epoch=None):
     """Merged window-fp membership sketch over completed passage
     shards (lineage-gated, merge-all, same-epoch-exclusion — the
-    recovery rules of load_dedup_state)."""
-    from ..pipeline import merge_rows_to_sketches
-
-    state_path = _passage_paths(checkpoint_dir)[0]
-    if not os.path.exists(state_path) and os.path.exists(state_path + "_old"):
-        state_path = state_path + "_old"
+    recovery rules of load_dedup_state, one implementation)."""
     done = _done_shards(_passage_completed(spark, checkpoint_dir), exclude_epoch)
-    if not done or not os.path.exists(state_path):
-        return None
-    df = spark.read.parquet(state_path).where(
-        (F.col("shard").isin(done) | (F.col("shard") == -1))
-        & (F.col("spec") == PASSAGE_SPEC)
+    return _load_sketch_state(
+        spark, _passage_paths(checkpoint_dir)[0], done, PASSAGE_SPEC
     )
-    merged = merge_rows_to_sketches(df.collect())
-    return merged.get((PASSAGE_SPEC, ""))
 
 
 def compact_passages_checkpoint(spark, checkpoint_dir: str):
@@ -1105,6 +1110,7 @@ def incremental_passages(
     partitions: int | None = None,
     update_state: bool = True,
     meta_extra: dict | None = None,
+    pre_lineage_hook=None,
     exclude_epoch=None,
 ) -> DataFrame:
     """Flag every ``window``-token span of a new ingest shard whose
@@ -1189,10 +1195,16 @@ def incremental_passages(
                 & (F.col("tick") >= F.lit(now - w + 1))
                 & (F.col("tick") <= F.lit(now))
             )
-            .join(F.broadcast(hits), "fp")
+            .join(hits, "fp")
             .select("fp")
             .distinct()
         )
+        # NO forced broadcast anywhere in this operator: hits/verified
+        # are fp-cardinality (~shard tokens/stride in the worst
+        # re-crawl case), unlike the doc-cardinality sets the exact/
+        # near operators broadcast — AQE broadcast-selects the common
+        # small case and falls back to an fp-keyed shuffle otherwise
+        # (code-review r05)
     else:
         verified = spark.createDataFrame([], "fp long")
 
@@ -1200,7 +1212,7 @@ def incremental_passages(
         F.sum(F.size("pos_list")).cast("int").alias("n_windows")
     )
     histdoc = (
-        wf.join(F.broadcast(verified), "fp")
+        wf.join(verified, "fp")
         .groupBy("doc_id")
         .agg(
             F.sum(F.size("pos_list")).cast("int").alias("n_hist_windows"),
@@ -1224,10 +1236,37 @@ def incremental_passages(
     if update_state:
         shard = len(_passage_completed(spark, checkpoint_dir))
         # only NEW fps enter history (suppressed spans don't refresh
-        # ticks — decay semantics); keeper = the shard-global first
-        # occurrence (min doc_id, then min pos), deterministic
+        # ticks — decay semantics), and only via OCCURRENCES whose span
+        # does not overlap a historical span of the same doc: a
+        # boundary window straddling a masked region would otherwise be
+        # recorded as "retained" while mask_against_history drops most
+        # of its tokens, so a later identical span would be masked with
+        # NO surviving copy anywhere in the clean corpus (code-review
+        # r05 #4). Spans [p, p+W) and [q, q+W) overlap iff |p-q| < W.
+        # Conservative by construction for callers who don't mask:
+        # an unrecorded fp merely re-enters on its next sighting.
+        wf_clean = (
+            wf.join(
+                ann.select("doc_id", F.col("hist_positions").alias("_hp")),
+                "doc_id",
+            )
+            .select(
+                "doc_id",
+                "fp",
+                F.filter(
+                    "pos_list",
+                    lambda pp: ~F.exists(
+                        F.col("_hp"),
+                        lambda q: F.abs(pp - q) < F.lit(int(window)),
+                    ),
+                ).alias("pos_list"),
+            )
+            .where(F.size("pos_list") > 0)
+        )
+        # keeper = the shard-global first surviving occurrence
+        # (min doc_id, then min pos), deterministic
         newfp = (
-            wf.join(F.broadcast(verified), "fp", "left_anti")
+            wf_clean.join(verified, "fp", "left_anti")
             .groupBy("fp")
             .agg(
                 F.min(
@@ -1255,6 +1294,8 @@ def incremental_passages(
             shaped, [spec], group_cols=(), tick_col=F.col("tick"),
             partitions=partitions,
         ).where(F.col("spec") == PASSAGE_SPEC)
+        _heal_swap(state_path)
+        _heal_swap(ledger_path)  # see incremental_dedup (code-review r05)
         built.withColumn("shard", F.lit(shard)).selectExpr(
             "spec", "group", "payload", "n_items", "cast(shard as int) shard"
         ).write.mode("append").parquet(state_path)
@@ -1263,6 +1304,14 @@ def incremental_passages(
             F.lit(now).cast("long").alias("tick"),
             F.lit(shard).cast("int").alias("shard"),
         ).write.mode("append").parquet(ledger_path)
+        if pre_lineage_hook is not None:
+            # caller-durable output (e.g. the masked clean shard) must
+            # land BEFORE the lineage marker — same exactly-once
+            # contract as incremental_dedup; without it a crash after
+            # lineage but before the caller persisted the masked text
+            # would re-run against history that now contains this very
+            # shard and mask the entire shard away (code-review r05 #2)
+            pre_lineage_hook(ann)
         counts = ann.agg(
             F.count("*").alias("n"),
             F.sum("n_windows").alias("w"),
@@ -1284,23 +1333,37 @@ def incremental_passages(
 def mask_against_history(
     spark,
     new_df: DataFrame,
-    checkpoint_dir: str,
-    now: int,
+    checkpoint_dir: str | None = None,
+    now: int | None = None,
     window: int = 50,
     stride: int = 1,
     text_col: str = "text",
+    ann: DataFrame | None = None,
     **kwargs,
 ) -> DataFrame:
     """Masking front end of incremental_passages: drop every span of
     the new shard that repeats a retained historical passage (history
     keeps its copy — strict drop-ALL-on-the-new-side, the incremental
     complement of mask_repeated_passages' keep-one-corpus-wide).
-    Returns (doc_id [original type], text_clean, n_tokens_removed);
-    extra kwargs pass through to incremental_passages."""
-    ann = incremental_passages(
-        spark, new_df, checkpoint_dir, now,
-        window=window, stride=stride, text_col=text_col, **kwargs,
-    )
+    Returns (doc_id [original type], text_clean, n_tokens_removed).
+
+    Pass ``ann`` (a frame already returned by incremental_passages for
+    the SAME new_df/window) to reuse its annotation instead of paying
+    a second kernel+probe pass; otherwise this calls
+    incremental_passages itself with ``update_state=False`` by
+    DEFAULT — masking that also commits state in one call is the
+    exactly-once trap (a crash before the caller persists the masked
+    text makes the re-run see the shard's own fps as history and mask
+    everything away; code-review r05 #2). To commit state atomically
+    with a durable masked output, call incremental_passages with a
+    ``pre_lineage_hook`` that persists
+    ``mask_against_history(..., ann=hook_arg)``."""
+    if ann is None:
+        kwargs.setdefault("update_state", False)
+        ann = incremental_passages(
+            spark, new_df, checkpoint_dir, now,
+            window=window, stride=stride, text_col=text_col, **kwargs,
+        )
     drops = ann.where(F.size("hist_positions") > 0).select(
         F.col("doc_id").alias("_k"), F.col("hist_positions").alias("_drops")
     )

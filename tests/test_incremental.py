@@ -679,3 +679,65 @@ class TestIncrementalPassages:
             spark, d, ck, now=51, window=50, params=p, update_state=False
         ).collect()[0]
         assert rd.n_hist_windows == 55 - 50 + 1
+
+    def test_heal_crashed_swap_before_append(self, spark, ck):
+        """code-review r05 #1: a crash between expire_ledgers' two
+        renames leaves only fp_ledger_old; the NEXT ingest must restore
+        it before appending — a plain append would recreate the
+        primary dir with only the new shard's rows, shadowing (and
+        eventually deleting) the whole history."""
+        import os
+        import shutil
+
+        from fuggetabouspark.dataops import incremental_dedup, ledger_df
+
+        mk = lambda i, t: spark.createDataFrame([(i, t)], "doc_id long, text string")
+        txt = " ".join(f"h{j}" for j in range(40))
+        incremental_dedup(spark, mk(1, txt), ck, now=1, params=self.P).unpersist()
+        # simulate the crashed swap: only the _old copy remains
+        led = os.path.join(ck, "fp_ledger")
+        shutil.move(led, led + "_old")
+        # ingest of NEW text appends — and must heal first
+        incremental_dedup(
+            spark, mk(2, "completely different words"), ck, now=2, params=self.P
+        ).unpersist()
+        assert os.path.exists(led) and not os.path.exists(led + "_old")
+        assert ledger_df(spark, ck).count() == 2  # history survived
+        # the old text still verifies as a duplicate
+        q = incremental_dedup(
+            spark, mk(3, txt), ck, now=3, params=self.P, update_state=False
+        )
+        assert q.collect()[0].is_dup_history is True
+        q.unpersist()
+
+    def test_passage_boundary_fps_not_retained_when_masked(self, spark, ck):
+        """code-review r05 #4: an occurrence whose span overlaps a
+        historical (to-be-masked) region must not enter history —
+        otherwise a later identical boundary span is masked although
+        no clean copy of it survives anywhere."""
+        from fuggetabouspark.dataops import incremental_passages
+
+        para = [f"bb{j}" for j in range(60)]
+        a = spark.createDataFrame(
+            [(1, " ".join([f"own{j}" for j in range(55)] + para))],
+            "doc_id long, text string",
+        )
+        incremental_passages(spark, a, ck, now=1, window=50, params=self.P).unpersist()
+        # doc 20: 10 unique words + the historical paragraph. Its
+        # interior windows are historical; its boundary windows (own
+        # prefix + paragraph) all overlap them → nothing new retained
+        t20 = " ".join([f"x{j}" for j in range(10)] + para)
+        incremental_passages(
+            spark,
+            spark.createDataFrame([(20, t20)], "doc_id long, text string"),
+            ck, now=2, window=50, params=self.P,
+        ).unpersist()
+        # doc 21 repeats doc 20's text EXACTLY: only the 11 interior
+        # paragraph windows may be historical — if doc 20's boundary
+        # fps had leaked into state, this would be 21 flagged windows
+        r = incremental_passages(
+            spark,
+            spark.createDataFrame([(21, t20)], "doc_id long, text string"),
+            ck, now=3, window=50, params=self.P, update_state=False,
+        ).collect()[0]
+        assert r.n_windows == 21 and r.n_hist_windows == 11, r
