@@ -543,6 +543,16 @@ class StreamingIngestGuard:
     ``expire_every`` (round 5, VERDICT r04 #1) prunes decayed ledger
     rows every N batches via expire_ledgers, keeping checkpoint bytes
     O(retained docs) on long-running windowed ingests.
+
+    ``passages=True`` (round 5) additionally runs incremental_passages
+    per micro-batch: surviving docs are published with every span that
+    repeats a RETAINED historical passage masked out of ``text_col``
+    (drop-all-on-the-new-side; n_tokens_removed is appended as
+    ``_passage_tokens_removed``). Passage state commits under its own
+    lineage before the exact marker, with the same exclude_epoch
+    replay protection; window/stride via passage_window /
+    passage_stride, sketch sizing via passage_params (size capacity
+    for distinct window fps ≈ shard tokens/stride).
     """
 
     def __init__(
@@ -563,6 +573,10 @@ class StreamingIngestGuard:
         near_rows_per_band: int = 4,
         near_params=None,
         expire_every: int | None = None,
+        passages: bool = False,
+        passage_window: int = 50,
+        passage_stride: int = 1,
+        passage_params=None,
     ):
         self.spark = spark
         self.checkpoint_dir = checkpoint_dir
@@ -584,6 +598,10 @@ class StreamingIngestGuard:
         self.near_rows_per_band = near_rows_per_band
         self.near_params = near_params
         self.expire_every = expire_every
+        self.passages = passages
+        self.passage_window = passage_window
+        self.passage_stride = passage_stride
+        self.passage_params = passage_params
         self._batches_done = 0
 
     def process_batch(self, batch_df, epoch_id: int) -> None:
@@ -597,6 +615,19 @@ class StreamingIngestGuard:
         if any(m.get("epoch") == int(epoch_id) for m in done):
             return  # fully committed (incl. clean output — see class doc)
         ep, now = int(epoch_id), self.now_for_epoch(epoch_id)
+
+        passage_ann = None
+        if self.passages:
+            # passage state commits first (own lineage under
+            # passages/); replay protection via exclude_epoch mirrors
+            # the near-dup half
+            passage_ann = incremental_passages(
+                self.spark, batch_df, self.checkpoint_dir, now=now,
+                window=self.passage_window, stride=self.passage_stride,
+                query_window=self.window, params=self.passage_params,
+                text_col=self.text_col, partitions=self.partitions,
+                meta_extra={"epoch": ep}, exclude_epoch=ep,
+            )
 
         near_ann = None
         if self.near:
@@ -637,6 +668,24 @@ class StreamingIngestGuard:
                 .drop("_k")
                 .withColumn("_epoch", F.lit(int(epoch_id)))
             )
+            if passage_ann is not None:
+                # survivors get historical passages masked out of the
+                # text column (annotation reused — no second kernel
+                # pass); docs with nothing to mask pass through
+                masked = mask_against_history(
+                    self.spark, out, window=self.passage_window,
+                    text_col=self.text_col, ann=passage_ann,
+                ).select(
+                    F.col("doc_id").cast("string").alias("_k"),
+                    "text_clean",
+                    F.col("n_tokens_removed").alias("_passage_tokens_removed"),
+                )
+                out = (
+                    out.withColumn("_k", F.col("doc_id").cast("string"))
+                    .join(masked, "_k", "left")
+                    .withColumn(self.text_col, F.col("text_clean"))
+                    .drop("_k", "text_clean")
+                )
             # epoch-partitioned dynamic overwrite: a re-run of a
             # half-committed epoch replaces exactly its own partition
             out.write.mode("overwrite").option(
@@ -659,11 +708,15 @@ class StreamingIngestGuard:
         ann.unpersist()
         if near_ann is not None:
             near_ann.unpersist()
+        if passage_ann is not None:
+            passage_ann.unpersist()
         self._batches_done += 1
         if self.compact_every and self._batches_done % self.compact_every == 0:
             compact_dedup_checkpoint(self.spark, self.checkpoint_dir)
             if self.near:
                 compact_near_checkpoint(self.spark, self.checkpoint_dir)
+            if self.passages:
+                compact_passages_checkpoint(self.spark, self.checkpoint_dir)
         if self.expire_every and self._batches_done % self.expire_every == 0:
             expire_ledgers(self.spark, self.checkpoint_dir, now=now)
 

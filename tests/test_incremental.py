@@ -741,3 +741,41 @@ class TestIncrementalPassages:
             ck, now=3, window=50, params=self.P, update_state=False,
         ).collect()[0]
         assert r.n_windows == 21 and r.n_hist_windows == 11, r
+
+    def test_guard_passages_mode_masks_clean_output(self, spark, ck):
+        """Guard passages=True: the published clean stream carries
+        historically-repeated passages masked out, under the same
+        epoch replay protocol."""
+        import os
+
+        from fuggetabouspark.dataops import StreamingIngestGuard
+
+        clean = os.path.join(ck, "clean")
+        g = StreamingIngestGuard(
+            spark, ck, clean_dir=clean, passages=True,
+            params=self.P, passage_params=self.P, compact_every=None,
+        )
+        para = [f"gp{j}" for j in range(60)]
+        b0 = spark.createDataFrame(
+            [(1, " ".join([f"a{j}" for j in range(30)] + para))],
+            "doc_id long, text string",
+        )
+        g.process_batch(b0, 0)
+        # epoch 0: no history yet — text published untouched
+        out0 = spark.read.parquet(clean).where("_epoch = 0").collect()[0]
+        assert "gp0" in out0.text and out0._passage_tokens_removed == 0
+        # epoch 1: doc 2 repeats the paragraph (distinct doc ⇒ not an
+        # exact dup, survives) — published with the paragraph masked
+        b1 = spark.createDataFrame(
+            [(2, " ".join([f"b{j}" for j in range(25)] + para))],
+            "doc_id long, text string",
+        )
+        g.process_batch(b1, 1)
+        out1 = spark.read.parquet(clean).where("_epoch = 1").collect()[0]
+        words1 = out1.text.split()
+        assert not any(w.startswith("gp") for w in words1)
+        assert out1._passage_tokens_removed == 60
+        assert all(w.startswith("b") for w in words1) and len(words1) == 25
+        # committed-epoch replay: skipped, output unchanged
+        g.process_batch(b1, 1)
+        assert spark.read.parquet(clean).count() == 2
