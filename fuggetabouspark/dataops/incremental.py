@@ -545,14 +545,18 @@ class StreamingIngestGuard:
     O(retained docs) on long-running windowed ingests.
 
     ``passages=True`` (round 5) additionally runs incremental_passages
-    per micro-batch: surviving docs are published with every span that
-    repeats a RETAINED historical passage masked out of ``text_col``
-    (drop-all-on-the-new-side; n_tokens_removed is appended as
-    ``_passage_tokens_removed``). Passage state commits under its own
-    lineage before the exact marker, with the same exclude_epoch
-    replay protection; window/stride via passage_window /
-    passage_stride, sketch sizing via passage_params (size capacity
-    for distinct window fps ≈ shard tokens/stride).
+    per micro-batch on the SURVIVOR set (inside the clean-publish
+    hook, after exact/near filtering — code-review r05: committing
+    passages of a doc that doc-level dedup then drops would mask
+    future copies with no published keeper anywhere): surviving docs
+    are published with every span that repeats a RETAINED historical
+    passage masked out of ``text_col`` (drop-all-on-the-new-side;
+    n_tokens_removed appended as ``_passage_tokens_removed``).
+    Passage state commits under its own lineage strictly before the
+    exact marker, with the same exclude_epoch replay protection;
+    window/stride via passage_window / passage_stride, sketch sizing
+    via passage_params (capacity ≈ retained distinct window fps).
+    Requires ``clean_dir`` (the survivor set is only defined there).
     """
 
     def __init__(
@@ -598,6 +602,11 @@ class StreamingIngestGuard:
         self.near_rows_per_band = near_rows_per_band
         self.near_params = near_params
         self.expire_every = expire_every
+        if passages and clean_dir is None:
+            raise ValueError(
+                "passages=True requires clean_dir: passage history is "
+                "committed for the published survivor set only"
+            )
         self.passages = passages
         self.passage_window = passage_window
         self.passage_stride = passage_stride
@@ -615,19 +624,6 @@ class StreamingIngestGuard:
         if any(m.get("epoch") == int(epoch_id) for m in done):
             return  # fully committed (incl. clean output — see class doc)
         ep, now = int(epoch_id), self.now_for_epoch(epoch_id)
-
-        passage_ann = None
-        if self.passages:
-            # passage state commits first (own lineage under
-            # passages/); replay protection via exclude_epoch mirrors
-            # the near-dup half
-            passage_ann = incremental_passages(
-                self.spark, batch_df, self.checkpoint_dir, now=now,
-                window=self.passage_window, stride=self.passage_stride,
-                query_window=self.window, params=self.passage_params,
-                text_col=self.text_col, partitions=self.partitions,
-                meta_extra={"epoch": ep}, exclude_epoch=ep,
-            )
 
         near_ann = None
         if self.near:
@@ -668,29 +664,50 @@ class StreamingIngestGuard:
                 .drop("_k")
                 .withColumn("_epoch", F.lit(int(epoch_id)))
             )
-            if passage_ann is not None:
-                # survivors get historical passages masked out of the
-                # text column (annotation reused — no second kernel
-                # pass); docs with nothing to mask pass through
+            if self.passages:
+                # frozen once: the survivor frame feeds the passage
+                # kernel AND the mask join-back (code-review r05 —
+                # an uncached self-referential join would re-execute
+                # the batch scan + both semi-joins)
+                out = out.localCheckpoint(eager=True)
+                # passage state commits HERE — survivors only, so
+                # every retained passage has a published keeper; own
+                # lineage lands strictly before the exact marker
+                pann = incremental_passages(
+                    self.spark, out, self.checkpoint_dir, now=now,
+                    window=self.passage_window, stride=self.passage_stride,
+                    query_window=self.window, params=self.passage_params,
+                    text_col=self.text_col, partitions=self.partitions,
+                    meta_extra={"epoch": ep}, exclude_epoch=ep,
+                )
+                # annotation reused — no second kernel pass; the
+                # collision-proof temp name keeps the original-columns
+                # contract even if the batch already has text_clean
                 masked = mask_against_history(
                     self.spark, out, window=self.passage_window,
-                    text_col=self.text_col, ann=passage_ann,
+                    text_col=self.text_col, ann=pann,
                 ).select(
                     F.col("doc_id").cast("string").alias("_k"),
-                    "text_clean",
+                    F.col("text_clean").alias("_fgs_text_clean"),
                     F.col("n_tokens_removed").alias("_passage_tokens_removed"),
                 )
                 out = (
                     out.withColumn("_k", F.col("doc_id").cast("string"))
                     .join(masked, "_k", "left")
-                    .withColumn(self.text_col, F.col("text_clean"))
-                    .drop("_k", "text_clean")
+                    .withColumn(self.text_col, F.col("_fgs_text_clean"))
+                    .drop("_k", "_fgs_text_clean")
                 )
             # epoch-partitioned dynamic overwrite: a re-run of a
             # half-committed epoch replaces exactly its own partition
             out.write.mode("overwrite").option(
                 "partitionOverwriteMode", "dynamic"
             ).partitionBy("_epoch").parquet(self.clean_dir)
+            if self.passages:
+                # only AFTER the write: the mask join consumes the
+                # checkpointed annotation lazily, and unpersisting a
+                # localCheckpoint before its consumer runs would lose
+                # the truncated lineage's only copy
+                pann.unpersist()
 
         ann = incremental_dedup(
             self.spark,
@@ -708,8 +725,6 @@ class StreamingIngestGuard:
         ann.unpersist()
         if near_ann is not None:
             near_ann.unpersist()
-        if passage_ann is not None:
-            passage_ann.unpersist()
         self._batches_done += 1
         if self.compact_every and self._batches_done % self.compact_every == 0:
             compact_dedup_checkpoint(self.spark, self.checkpoint_dir)

@@ -779,3 +779,58 @@ class TestIncrementalPassages:
         # committed-epoch replay: skipped, output unchanged
         g.process_batch(b1, 1)
         assert spark.read.parquet(clean).count() == 2
+
+    def test_passage_state_covers_published_survivors_only(self, spark, ck):
+        """code-review r05 (third pass): a doc dropped by doc-level
+        dedup must NOT leave its novel passages in history — they have
+        no published keeper, so future copies would be masked out of
+        the clean corpus with no surviving copy anywhere."""
+        import os
+
+        from fuggetabouspark.dataops import StreamingIngestGuard
+
+        clean = os.path.join(ck, "clean")
+        g = StreamingIngestGuard(
+            spark, ck, clean_dir=clean, near=True, passages=True,
+            params=self.P, near_params=self.P, passage_params=self.P,
+            compact_every=None,
+        )
+        base = " ".join(f"s{j}" for j in range(600))
+        para = " ".join(f"zz{j}" for j in range(60))
+        g.process_batch(
+            spark.createDataFrame([(1, base)], "doc_id long, text string"), 0
+        )
+        # doc 2 = base + a NOVEL paragraph: near-dup of doc 1
+        # (shingle J ≈ 598/658 ≈ 0.91 ≥ 0.8) → dropped from the clean
+        # stream; its paragraph must not enter passage history
+        g.process_batch(
+            spark.createDataFrame(
+                [(2, base + " " + para)], "doc_id long, text string"
+            ),
+            1,
+        )
+        assert spark.read.parquet(clean).where("_epoch = 1").count() == 0
+        # doc 3 carries the paragraph and survives: it must be
+        # published INTACT — the paragraph was never published before
+        g.process_batch(
+            spark.createDataFrame(
+                [(3, " ".join(f"t{j}" for j in range(20)) + " " + para)],
+                "doc_id long, text string",
+            ),
+            2,
+        )
+        out2 = spark.read.parquet(clean).where("_epoch = 2").collect()[0]
+        assert out2._passage_tokens_removed == 0
+        assert any(w.startswith("zz") for w in out2.text.split())
+        # and doc 3's OWN publication does retain the paragraph: a
+        # fourth doc repeating it gets masked against doc 3's copy
+        g.process_batch(
+            spark.createDataFrame(
+                [(4, " ".join(f"u{j}" for j in range(20)) + " " + para)],
+                "doc_id long, text string",
+            ),
+            3,
+        )
+        out3 = spark.read.parquet(clean).where("_epoch = 3").collect()[0]
+        assert out3._passage_tokens_removed == 60
+        assert not any(w.startswith("zz") for w in out3.text.split())
