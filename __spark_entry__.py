@@ -1238,6 +1238,76 @@ def q_incremental_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_emb_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental EMBEDDING-level (semantic) dedup verdict (round 5):
+    shard A = even vec_ids ingested into a fresh emb checkpoint (no
+    intra dedup ⇒ ALL of A retained, deterministically), shard B = odd
+    vec_ids + an EXACT vector clone of every PLANT_MOD-th even vec
+    (vec_id + PLANT_OFFSET). An identical vector shares every
+    hyperplane bucket key in every table, the sketch has zero
+    in-window false negatives, and exact-cosine verification yields
+    1.0 ≥ threshold — so every planted clone is flagged with
+    CERTAINTY. DuckDB recomputes the counts from vec_id arithmetic and
+    the cosine pin from list_cosine_similarity of the planted pairing
+    (identical vectors ⇒ round(1000·cos) = 1000 each)."""
+    import shutil
+    import tempfile
+
+    from fuggetabouspark.dataops import incremental_embedding_dedup
+    from fuggetabouspark.params import TimingParams
+
+    _ship(spark)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    dim = len(emb.select("embedding").first()[0])
+    shard_a = emb.where(F.col("vec_id") % 2 == 0)
+    planted = emb.where(
+        (F.col("vec_id") % 2 == 0) & (F.col("vec_id") % PLANT_MOD == 0)
+    )
+    clones = planted.select(
+        (F.col("vec_id") + PLANT_OFFSET).alias("vec_id"), "embedding"
+    )
+    shard_b = emb.where(F.col("vec_id") % 2 == 1).unionByName(clones)
+    ck = tempfile.mkdtemp(prefix="fgs_incr_emb_")
+    p = TimingParams(capacity=50_000, error=0.001, window_ticks=2**31)
+    try:
+        incremental_embedding_dedup(
+            spark, shard_a, ck, now=1, dim=dim, params=p, partitions=8
+        ).unpersist()
+        ann_b = incremental_embedding_dedup(
+            spark, shard_b, ck, now=2, dim=dim, threshold=0.9, params=p,
+            partitions=8, update_state=False,
+        )
+        stats = (
+            ann_b.where(F.col("vec_id").cast("long") >= PLANT_OFFSET)
+            .agg(
+                F.sum(F.col("is_emb_dup_history").cast("long")).alias("nf"),
+                F.sum(
+                    F.when(
+                        F.col("is_emb_dup_history"),
+                        F.round(F.col("cosine") * 1000),
+                    ).otherwise(F.lit(0)).cast("long")
+                ).alias("cs"),
+            )
+            .collect()[0]
+        )
+        n_b = ann_b.count()
+        ann_b.unpersist()
+    finally:
+        shutil.rmtree(ck, ignore_errors=True)
+    n_planted = planted.count()
+    return spark.createDataFrame(
+        [(
+            int(n_b),
+            int(n_planted),
+            int(stats["nf"] or 0),
+            int(stats["cs"] or 0),
+        )],
+        "n_b long, n_planted long, n_planted_flagged long, cos_permille_sum long",
+    )
+
+
 def q_mask_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Passage-REMOVAL verdict (round 4): same planted construction as
     repeated_passages (60-word 'rp*' paragraph appended to the 8 docs
@@ -1430,6 +1500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_near_dup": q_incremental_near_dup,
         "incremental_near_dup_recall": q_incremental_near_dup_recall,
         "incremental_passages": q_incremental_passages,
+        "incremental_emb_dedup": q_incremental_emb_dedup,
         "repeated_passages": q_repeated_passages,
         "mask_passages": q_mask_passages,
         "ann_topk_cosine": q_ann_topk_cosine,
@@ -1758,6 +1829,22 @@ def oracle_sql() -> dict[str, str]:
                    -- drop-all-on-the-new-side: history keeps the copy
                    CAST(0 AS BIGINT) AS ip_left_b
             FROM documents
+        """,
+        "incremental_emb_dedup": f"""
+            WITH pl AS (
+                SELECT vec_id, embedding FROM embeddings
+                WHERE vec_id % 2 = 0 AND vec_id % {PLANT_MOD} = 0
+            )
+            SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id % 2 = 1)
+                        + (SELECT count(*) FROM pl) AS BIGINT) AS n_b,
+                   CAST((SELECT count(*) FROM pl) AS BIGINT) AS n_planted,
+                   -- identical vector ⇒ identical buckets in every
+                   -- table + zero-FN sketch + cosine 1.0: certain
+                   CAST((SELECT count(*) FROM pl) AS BIGINT) AS n_planted_flagged,
+                   CAST((SELECT SUM(ROUND(1000 * list_cosine_similarity(
+                        embedding, embedding))) FROM pl) AS BIGINT)
+                        AS cos_permille_sum
+            FROM (SELECT 1)
         """,
         "mask_passages": """
             SELECT CAST(count(*) AS BIGINT) AS n_docs,

@@ -250,25 +250,36 @@ def expire_ledgers(
     kept: dict[str, int] = {}
     _, fp_path, _ = _paths(checkpoint_dir)
     band_path, sig_path = _near_paths(checkpoint_dir)[1:3]
-    for name, path, ddl, sk in (
-        ("fp_ledger", fp_path, LEDGER_DDL,
+    wcache: dict[str, int | None] = {}
+
+    def win_of(kind: str, loader) -> int | None:
+        # one state load per operator family, not per ledger (the near
+        # sketch backs both the band and sig ledgers)
+        if kind not in wcache:
+            sketch = loader()
+            wcache[kind] = None if sketch is None else sk_window(sketch)
+        return wcache[kind]
+
+    for name, path, ddl, kind, loader in (
+        ("fp_ledger", fp_path, LEDGER_DDL, "exact",
          lambda: load_dedup_state(spark, checkpoint_dir)),
-        ("band_ledger", band_path, BAND_LEDGER_DDL,
+        ("band_ledger", band_path, BAND_LEDGER_DDL, "near",
          lambda: _load_near_state(spark, checkpoint_dir)),
-        ("sig_ledger", sig_path, SIG_LEDGER_DDL,
+        ("sig_ledger", sig_path, SIG_LEDGER_DDL, "near",
          lambda: _load_near_state(spark, checkpoint_dir)),
         ("passage_ledger", _passage_paths(checkpoint_dir)[1], PASSAGE_LEDGER_DDL,
-         lambda: _load_passage_state(spark, checkpoint_dir)),
+         "passages", lambda: _load_passage_state(spark, checkpoint_dir)),
+        ("bucket_ledger", _emb_paths(checkpoint_dir)[1], EMB_BUCKET_LEDGER_DDL,
+         "emb", lambda: _load_emb_state(spark, checkpoint_dir)),
+        ("vec_ledger", _emb_paths(checkpoint_dir)[2], EMB_VEC_LEDGER_DDL,
+         "emb", lambda: _load_emb_state(spark, checkpoint_dir)),
     ):
         df = _read_swap(spark, path, ddl)
         if df is None:
             continue
-        w = window
+        w = window if window is not None else win_of(kind, loader)
         if w is None:
-            sketch = sk()
-            if sketch is None:
-                continue
-            w = sk_window(sketch)
+            continue
         live = df.where(F.col("tick") >= F.lit(int(now) - int(w) + 1))
         # localCheckpoint BEFORE the swap: the plan reads the very
         # directory the swap replaces (same cache-invalidation trap as
@@ -1454,3 +1465,265 @@ def mask_against_history(
             (F.size("_words") - F.size("_kept")).cast("int").alias("n_tokens_removed"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# incremental EMBEDDING-level dedup (round 5): semantic near-duplicate
+# detection of a new shard against checkpointed history — the fourth
+# granularity of the incremental family (exact doc / near doc /
+# passage / semantic), reusing similarity.hyperplane_buckets'
+# deterministic seeded planes so bucket keys agree across shards.
+# --------------------------------------------------------------------
+
+EMB_SPEC = "emb_dup_bucket"
+EMB_BUCKET_LEDGER_DDL = "bkey long, vec_id string, tick long, shard int"
+EMB_VEC_LEDGER_DDL = "vec_id string, embedding array<float>, tick long, shard int"
+EMB_ANNOTATED_DDL = (
+    "vec_id string, is_emb_dup_history boolean, hist_vec_id string, cosine double"
+)
+
+
+def _emb_paths(checkpoint_dir: str) -> tuple[str, str, str, str]:
+    """All embedding-dedup state lives under <checkpoint_dir>/emb —
+    its own sketch_state, bucket/vec ledgers, and lineage (operator
+    namespacing rule, code-review r04)."""
+    base = os.path.join(checkpoint_dir, "emb")
+    return (
+        os.path.join(base, "sketch_state"),
+        os.path.join(base, "bucket_ledger"),
+        os.path.join(base, "vec_ledger"),
+        os.path.join(base, "lineage"),
+    )
+
+
+def _emb_completed(spark, checkpoint_dir: str) -> list[dict]:
+    return _completed_metas(spark, _emb_paths(checkpoint_dir)[3])
+
+
+def _load_emb_state(spark, checkpoint_dir: str, exclude_epoch=None):
+    done = _done_shards(_emb_completed(spark, checkpoint_dir), exclude_epoch)
+    return _load_sketch_state(
+        spark, _emb_paths(checkpoint_dir)[0], done, EMB_SPEC
+    )
+
+
+def compact_emb_checkpoint(spark, checkpoint_dir: str):
+    """Fold completed embedding shards' sketch rows into one shard=-1
+    row (same protocol as compact_dedup_checkpoint)."""
+    state_path = _emb_paths(checkpoint_dir)[0]
+    return _compact_sketch_state(
+        spark, state_path, _load_emb_state(spark, checkpoint_dir), EMB_SPEC
+    )
+
+
+def incremental_embedding_dedup(
+    spark,
+    new_df: DataFrame,
+    checkpoint_dir: str,
+    now: int,
+    dim: int,
+    threshold: float = 0.9,
+    bits: int = 12,
+    tables: int = 8,
+    window: int | None = None,
+    params=None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    partitions: int | None = None,
+    update_state: bool = True,
+    meta_extra: dict | None = None,
+    exclude_epoch=None,
+) -> DataFrame:
+    """Flag every vector of a new ingest shard whose cosine similarity
+    to a RETAINED in-window historical vector is >= ``threshold`` —
+    without re-joining history. Returns EMB_ANNOTATED_DDL, one row per
+    input vector (hist_vec_id / cosine = the best historical match).
+
+    History state: a decaying membership sketch over hyperplane-LSH
+    BUCKET KEYS (``tables`` independent seeded plane sets × ``bits``
+    sign bits; a vector contributes ``tables`` keys, deterministic
+    across shards because the planes derive from the seed alone) + a
+    bucket ledger (bkey → retained vec, 30 B/key) + a vec ledger
+    carrying the retained embeddings (~4·dim B/vec — the honest price
+    of exact cosine verification; expiry prunes decayed rows). A new
+    shard's keys probe the broadcast sketch: zero in-window false
+    negatives ⇒ a vector NONE of whose keys hit provably shares no
+    bucket with retained history. Hit keys fetch candidate partners
+    from the bucket ledger, and candidates are verified by EXACT
+    cosine against the vec ledger — the sketch's FPR and LSH
+    collisions cost verification work, never a false flag.
+
+    Detection semantics: an exact duplicate vector of a retained one
+    is flagged with CERTAINTY (identical keys in every table, cosine
+    1.0 — what the oracle pins); a near-duplicate at cos θ is caught
+    with probability 1-(1-(1-θ_angle/π)^bits)^tables (≈ 0.999 at
+    cos 0.99 with the defaults), reproducible because planes and
+    vectors are fixed. Intra-shard duplicates are out of scope — run
+    embedding_near_dup on the shard first (same composition rule as
+    incremental_passages)."""
+    from ..params import ScalingParams, TimingParams
+    from ..pipeline import SketchSpec, build_sketches
+    from ..queries import _with_window, seen_within_distributed, sk_window
+    from .similarity import hyperplane_buckets
+
+    if params is None:
+        params = TimingParams(capacity=2_000_000, error=0.001, window_ticks=2**31)
+    kind = "stbf" if isinstance(params, ScalingParams) else "tbf"
+    state_path, bucket_path, vec_path, lineage_path = _emb_paths(checkpoint_dir)
+
+    src = new_df.select(
+        F.col(id_col).cast("string").alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+    )
+    keyed = None
+    for t in range(tables):
+        b, _ = hyperplane_buckets(
+            src, dim=dim, bits=bits, seed=101 + 13 * t,
+            vec_col="embedding", id_col="vec_id",
+        )
+        k = b.select(
+            "vec_id", "embedding",
+            F.xxhash64(F.lit(t), "bucket").alias("bkey"),
+        )
+        keyed = k if keyed is None else keyed.unionByName(k)
+    # one row per (vec, table); frozen so probe/verify/state-update
+    # consumers never recompute the matmuls
+    keyed = keyed.localCheckpoint(eager=True)
+
+    sk = _load_emb_state(spark, checkpoint_dir, exclude_epoch=exclude_epoch)
+    if sk is not None:
+        w = window if window is not None else sk_window(sk)
+        if w > sk_window(sk):
+            raise ValueError(
+                f"window {w} exceeds the sketch's window_ticks {sk_window(sk)}"
+            )
+        if w != sk_window(sk):
+            sk = _with_window(sk, w)
+        state_df = spark.createDataFrame(
+            [(EMB_SPEC, "", bytearray(sk.to_bytes()), int(sk.n_items))],
+            "spec string, group string, payload binary, n_items long",
+        )
+        hits = (
+            seen_within_distributed(
+                spark, state_df, EMB_SPEC,
+                keyed.select(F.col("bkey").alias("key")).distinct(),
+                now, only_seen=True,
+            )
+            .select(F.col("key").alias("bkey"))
+            .distinct()
+        )
+        done = _done_shards(_emb_completed(spark, checkpoint_dir), exclude_epoch)
+        bucket_led = _read_swap(spark, bucket_path, EMB_BUCKET_LEDGER_DDL)
+        vec_led = _read_swap(spark, vec_path, EMB_VEC_LEDGER_DDL)
+        assert bucket_led is not None and vec_led is not None, (
+            "completed emb shard without its ledgers"
+        )
+        # shard-side hit keys broadcast INTO the bucket-ledger scan —
+        # the check-12/13 shape: history filtered in place. Key count
+        # is docs × tables (doc-cardinality × small constant), so the
+        # broadcast stays bounded, unlike the passage operator's
+        # token-cardinality sets.
+        probe = keyed.select("bkey", "vec_id").join(F.broadcast(hits), "bkey")
+        cand = (
+            bucket_led.where(
+                (F.col("shard").isin(done))
+                & (F.col("tick") >= F.lit(now - w + 1))
+                & (F.col("tick") <= F.lit(now))
+            )
+            .select("bkey", F.col("vec_id").alias("hist_vec_id"))
+            .join(F.broadcast(probe), "bkey")
+            .select("vec_id", "hist_vec_id")
+            .distinct()
+        )
+        hist_ids = cand.select(F.col("hist_vec_id").alias("vec_id")).distinct()
+        hvecs = (
+            vec_led.where(F.col("shard").isin(done))
+            .join(F.broadcast(hist_ids), "vec_id", "left_semi")
+            .select(
+                F.col("vec_id").alias("hist_vec_id"),
+                F.col("embedding").alias("hvec"),
+            )
+        )
+        dot = F.aggregate(
+            F.zip_with("embedding", "hvec", lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        norm = lambda c: F.sqrt(
+            F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0),
+                        lambda acc, x: acc + x)
+        )
+        cos = dot / (norm(F.col("embedding")) * norm(F.col("hvec")))
+        hist_matches = (
+            src.join(F.broadcast(cand), "vec_id")
+            .join(F.broadcast(hvecs), "hist_vec_id")
+            .select("vec_id", "hist_vec_id", cos.alias("cosine"))
+            .where(F.col("cosine") >= threshold)
+            .groupBy("vec_id")
+            .agg(F.max(F.struct("cosine", "hist_vec_id")).alias("_best"))
+            .select(
+                "vec_id",
+                F.col("_best.hist_vec_id").alias("hist_vec_id"),
+                F.col("_best.cosine").alias("cosine"),
+            )
+        )
+    else:
+        hist_matches = spark.createDataFrame(
+            [], "vec_id string, hist_vec_id string, cosine double"
+        )
+
+    ann = (
+        src.select("vec_id")
+        .join(hist_matches, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("hist_vec_id").isNotNull().alias("is_emb_dup_history"),
+            "hist_vec_id",
+            "cosine",
+        )
+    ).localCheckpoint(eager=True)
+
+    if update_state:
+        shard = len(_emb_completed(spark, checkpoint_dir))
+        keep = ann.where(~F.col("is_emb_dup_history")).select("vec_id")
+        kept_keys = keyed.join(F.broadcast(keep), "vec_id")
+        shaped = kept_keys.select(
+            F.col("vec_id").alias("doc_id"),
+            F.array("bkey").alias("tokens"),
+            F.lit(1).alias("n_tok"),
+            F.lit(now).cast("long").alias("tick"),
+        )
+        spec = SketchSpec(EMB_SPEC, kind, params, value="tokens")
+        built = build_sketches(
+            shaped, [spec], group_cols=(), tick_col=F.col("tick"),
+            partitions=partitions,
+        ).where(F.col("spec") == EMB_SPEC)
+        _heal_swap(state_path)
+        _heal_swap(bucket_path)
+        _heal_swap(vec_path)
+        built.withColumn("shard", F.lit(shard)).selectExpr(
+            "spec", "group", "payload", "n_items", "cast(shard as int) shard"
+        ).write.mode("append").parquet(state_path)
+        kept_keys.select(
+            "bkey", "vec_id", F.lit(now).cast("long").alias("tick"),
+            F.lit(shard).cast("int").alias("shard"),
+        ).write.mode("append").parquet(bucket_path)
+        src.join(F.broadcast(keep), "vec_id").select(
+            "vec_id", "embedding", F.lit(now).cast("long").alias("tick"),
+            F.lit(shard).cast("int").alias("shard"),
+        ).write.mode("append").parquet(vec_path)
+        counts = ann.agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("is_emb_dup_history").cast("long")).alias("h"),
+        ).collect()[0]
+        meta = {
+            "shard": shard, "now": int(now), "kind": "emb_dup",
+            "n_vecs": int(counts["n"]),
+            "n_emb_dup_history": int(counts["h"] or 0),
+            "n_retained": int(counts["n"]) - int(counts["h"] or 0),
+            **(meta_extra or {}),
+        }
+        spark.createDataFrame(
+            [(shard, json.dumps(meta, sort_keys=True))], "shard int, meta string"
+        ).write.mode("append").parquet(lineage_path)
+    return ann

@@ -834,3 +834,87 @@ class TestIncrementalPassages:
         out3 = spark.read.parquet(clean).where("_epoch = 3").collect()[0]
         assert out3._passage_tokens_removed == 60
         assert not any(w.startswith("zz") for w in out3.text.split())
+
+
+class TestIncrementalEmbeddingDedup:
+    """Semantic (embedding-level) incremental dedup: hyperplane bucket
+    keys probe checkpointed state, exact-cosine verification against
+    the vec ledger."""
+
+    P = TimingParams(capacity=50_000, error=0.001, window_ticks=2**31)
+    DIM = 16
+
+    def _vecs(self, spark, rows):
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def test_exact_and_near_vectors_caught(self, spark, ck):
+        import numpy as np
+
+        from fuggetabouspark.dataops import incremental_embedding_dedup
+
+        rng = np.random.default_rng(11)
+        base = rng.normal(size=(4, self.DIM)).astype("float32")
+        a = self._vecs(
+            spark, [(i, [float(x) for x in base[i]]) for i in range(4)]
+        )
+        ann_a = incremental_embedding_dedup(
+            spark, a, ck, now=1, dim=self.DIM, params=self.P
+        )
+        assert not any(r.is_emb_dup_history for r in ann_a.collect())
+        ann_a.unpersist()
+        # shard B: vec 10 = EXACT clone of vec 1 (certain, cosine 1),
+        # vec 11 = vec 2 + small noise (cos ≈ 0.999 — near-certain and
+        # frozen by fixed seeds), vec 12 = fresh random (must survive)
+        near = base[2] + 0.01 * rng.normal(size=self.DIM).astype("float32")
+        fresh = rng.normal(size=self.DIM).astype("float32")
+        b = self._vecs(spark, [
+            (10, [float(x) for x in base[1]]),
+            (11, [float(x) for x in near]),
+            (12, [float(x) for x in fresh]),
+        ])
+        ann_b = incremental_embedding_dedup(
+            spark, b, ck, now=2, dim=self.DIM, threshold=0.9, params=self.P
+        )
+        got = {r.vec_id: r for r in ann_b.collect()}
+        assert got["10"].is_emb_dup_history and abs(got["10"].cosine - 1.0) < 1e-6
+        assert got["10"].hist_vec_id == "1"
+        assert got["11"].is_emb_dup_history and got["11"].cosine >= 0.9
+        assert got["11"].hist_vec_id == "2"
+        assert not got["12"].is_emb_dup_history
+        ann_b.unpersist()
+
+    def test_window_decay_compaction_and_expiry(self, spark, ck):
+        import os
+
+        import numpy as np
+
+        from fuggetabouspark.dataops import (
+            compact_emb_checkpoint,
+            expire_ledgers,
+            incremental_embedding_dedup,
+        )
+
+        p = TimingParams(capacity=50_000, error=0.001, window_ticks=5)
+        rng = np.random.default_rng(5)
+        v = [float(x) for x in rng.normal(size=self.DIM).astype("float32")]
+        mk = lambda i: self._vecs(spark, [(i, v)])
+        incremental_embedding_dedup(
+            spark, mk(1), ck, now=1, dim=self.DIM, params=p
+        ).unpersist()
+        r = incremental_embedding_dedup(
+            spark, mk(2), ck, now=4, dim=self.DIM, params=p, update_state=False
+        ).collect()[0]
+        assert r.is_emb_dup_history  # in window
+        rc = incremental_embedding_dedup(
+            spark, mk(3), ck, now=50, dim=self.DIM, params=p
+        ).collect()[0]
+        assert rc.is_emb_dup_history is False  # decayed → re-enters
+        compact_emb_checkpoint(spark, ck)
+        st = spark.read.parquet(os.path.join(ck, "emb", "sketch_state")).collect()
+        assert [x.shard for x in st] == [-1]
+        kept = expire_ledgers(spark, ck, now=50)
+        assert kept["vec_ledger"] == 1  # only the tick-50 re-entry
+        rd = incremental_embedding_dedup(
+            spark, mk(4), ck, now=51, dim=self.DIM, params=p, update_state=False
+        ).collect()[0]
+        assert rd.is_emb_dup_history and rd.hist_vec_id == "3"
