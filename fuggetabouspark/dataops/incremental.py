@@ -1516,6 +1516,60 @@ def compact_emb_checkpoint(spark, checkpoint_dir: str):
     )
 
 
+def _emb_table_keys(
+    df: DataFrame, dim: int, bits: int, tables: int,
+    vec_col: str = "embedding", id_col: str = "vec_id", seed_base: int = 101,
+) -> DataFrame:
+    """(vec_id, bkey): ``tables`` bucket keys per vector from ONE
+    matmul per Arrow batch — the per-table plane sets (identical
+    construction to similarity.hyperplane_buckets, seed_base + 13·t)
+    are stacked into a single (tables·bits, dim) matrix, so the input
+    plan executes once instead of ``tables`` times and the key frame
+    never carries the vectors (code-review r05 third pass #3/#4).
+    Keys are splitmix64(bucket ⊕ mix(t)) — deterministic across
+    shards and partitionings."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..hashing import splitmix64
+
+    planes = np.concatenate([
+        np.where(
+            (splitmix64(
+                np.arange(bits * dim, dtype=np.uint64)
+                + np.uint64((seed_base + 13 * t) * 0x9E37)
+            ) & np.uint64(1)).astype(bool),
+            1.0, -1.0,
+        ).reshape(bits, dim)
+        for t in range(tables)
+    ]).astype(np.float32)  # (tables*bits, dim)
+    weights = (np.int64(1) << np.arange(bits, dtype=np.int64))
+    tsalt = splitmix64(np.arange(tables, dtype=np.uint64) + np.uint64(0xE3B))
+
+    def assign(iterator):
+        for tbl in iterator:
+            col = tbl.column(vec_col)
+            flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float32)
+            n = len(tbl)
+            proj = flat.reshape(n, dim) @ planes.T            # (n, T*B)
+            signs = (proj > 0).astype(np.int64).reshape(n, tables, bits)
+            buckets = (signs * weights).sum(axis=2)           # (n, T)
+            with np.errstate(over="ignore"):
+                bkey = splitmix64(buckets.astype(np.uint64) ^ tsalt)
+            yield pa.RecordBatch.from_pydict(
+                {
+                    id_col: tbl.column(id_col).take(
+                        pa.array(np.repeat(np.arange(n, dtype=np.int64), tables))
+                    ),
+                    "bkey": pa.array(bkey.reshape(-1).view(np.int64), pa.int64()),
+                }
+            )
+
+    src = df.select(id_col, vec_col)
+    id_t = src.schema[id_col].dataType.simpleString()
+    return src.mapInArrow(assign, schema=f"{id_col} {id_t}, bkey long")
+
+
 def incremental_embedding_dedup(
     spark,
     new_df: DataFrame,
@@ -1532,6 +1586,7 @@ def incremental_embedding_dedup(
     partitions: int | None = None,
     update_state: bool = True,
     meta_extra: dict | None = None,
+    pre_lineage_hook=None,
     exclude_epoch=None,
 ) -> DataFrame:
     """Flag every vector of a new ingest shard whose cosine similarity
@@ -1564,31 +1619,38 @@ def incremental_embedding_dedup(
     from ..params import ScalingParams, TimingParams
     from ..pipeline import SketchSpec, build_sketches
     from ..queries import _with_window, seen_within_distributed, sk_window
-    from .similarity import hyperplane_buckets
+    from .similarity import _dot, _norm
 
     if params is None:
         params = TimingParams(capacity=2_000_000, error=0.001, window_ticks=2**31)
     kind = "stbf" if isinstance(params, ScalingParams) else "tbf"
     state_path, bucket_path, vec_path, lineage_path = _emb_paths(checkpoint_dir)
 
+    # bucket-key geometry must match the checkpoint's: keys computed
+    # with different bits/tables/dim never collide with retained keys,
+    # so every probe would silently miss (code-review r05 third pass
+    # #2). The geometry is recorded in each shard's lineage meta.
+    prior = [m for m in _emb_completed(spark, checkpoint_dir) if "bits" in m]
+    if prior:
+        g = prior[-1]
+        if (int(g["bits"]), int(g["tables"]), int(g["dim"])) != (bits, tables, dim):
+            raise ValueError(
+                f"emb checkpoint was built with bits={g['bits']} "
+                f"tables={g['tables']} dim={g['dim']}; probing with "
+                f"bits={bits} tables={tables} dim={dim} would yield "
+                "silent false negatives"
+            )
+
     src = new_df.select(
         F.col(id_col).cast("string").alias("vec_id"),
         F.col(vec_col).alias("embedding"),
     )
-    keyed = None
-    for t in range(tables):
-        b, _ = hyperplane_buckets(
-            src, dim=dim, bits=bits, seed=101 + 13 * t,
-            vec_col="embedding", id_col="vec_id",
-        )
-        k = b.select(
-            "vec_id", "embedding",
-            F.xxhash64(F.lit(t), "bucket").alias("bkey"),
-        )
-        keyed = k if keyed is None else keyed.unionByName(k)
-    # one row per (vec, table); frozen so probe/verify/state-update
-    # consumers never recompute the matmuls
-    keyed = keyed.localCheckpoint(eager=True)
+    # one fused kernel pass (all tables in one matmul, vectors not
+    # carried); frozen so probe and state-update never recompute it
+    keyed = _emb_table_keys(
+        src, dim=dim, bits=bits, tables=tables,
+        vec_col="embedding", id_col="vec_id",
+    ).localCheckpoint(eager=True)
 
     sk = _load_emb_state(spark, checkpoint_dir, exclude_epoch=exclude_epoch)
     if sk is not None:
@@ -1644,16 +1706,17 @@ def incremental_embedding_dedup(
                 F.col("embedding").alias("hvec"),
             )
         )
-        dot = F.aggregate(
-            F.zip_with("embedding", "hvec", lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        norm = lambda c: F.sqrt(
-            F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0),
-                        lambda acc, x: acc + x)
-        )
-        cos = dot / (norm(F.col("embedding")) * norm(F.col("hvec")))
+        # shared _dot/_norm (similarity.py) with an explicit zero-norm
+        # guard: an all-zero embedding (empty doc / failed embedder)
+        # would otherwise abort the job under Spark 4's default ANSI
+        # mode (DIVIDE_BY_ZERO) — or, with ANSI off, yield NaN, which
+        # compares >= threshold and becomes a FALSE duplicate flag
+        # (code-review r05 third pass #1). Zero vectors have no
+        # direction: they never match anything.
+        nprod = _norm(F.col("embedding")) * _norm(F.col("hvec"))
+        cos = F.when(
+            nprod > 0, _dot(F.col("embedding"), F.col("hvec")) / nprod
+        ).otherwise(F.lit(-1.0))
         hist_matches = (
             src.join(F.broadcast(cand), "vec_id")
             .join(F.broadcast(hvecs), "hist_vec_id")
@@ -1712,12 +1775,17 @@ def incremental_embedding_dedup(
             "vec_id", "embedding", F.lit(now).cast("long").alias("tick"),
             F.lit(shard).cast("int").alias("shard"),
         ).write.mode("append").parquet(vec_path)
+        if pre_lineage_hook is not None:
+            # caller-durable output strictly before the lineage marker
+            # (family-wide exactly-once contract)
+            pre_lineage_hook(ann)
         counts = ann.agg(
             F.count("*").alias("n"),
             F.sum(F.col("is_emb_dup_history").cast("long")).alias("h"),
         ).collect()[0]
         meta = {
             "shard": shard, "now": int(now), "kind": "emb_dup",
+            "bits": int(bits), "tables": int(tables), "dim": int(dim),
             "n_vecs": int(counts["n"]),
             "n_emb_dup_history": int(counts["h"] or 0),
             "n_retained": int(counts["n"]) - int(counts["h"] or 0),

@@ -918,3 +918,40 @@ class TestIncrementalEmbeddingDedup:
             spark, mk(4), ck, now=51, dim=self.DIM, params=p, update_state=False
         ).collect()[0]
         assert rd.is_emb_dup_history and rd.hist_vec_id == "3"
+
+    def test_zero_vectors_and_geometry_guard(self, spark, ck):
+        """code-review r05 (fourth pass): an all-zero embedding must
+        never match (no direction — and unguarded division would abort
+        under ANSI mode or NaN-flag without it); mismatched bucket
+        geometry must raise, not silently miss everything."""
+        import numpy as np
+        import pytest
+
+        from fuggetabouspark.dataops import incremental_embedding_dedup
+
+        rng = np.random.default_rng(3)
+        v = [float(x) for x in rng.normal(size=self.DIM).astype("float32")]
+        zeros = [0.0] * self.DIM
+        a = self._vecs(spark, [(1, v), (2, zeros)])
+        incremental_embedding_dedup(
+            spark, a, ck, now=1, dim=self.DIM, params=self.P
+        ).unpersist()
+        # shard B's zero vector shares every bucket with A's zero
+        # vector (all projections 0 → bucket 0 in every table): the
+        # candidate pair exists, and the guarded cosine must reject it
+        b = self._vecs(spark, [(10, zeros), (11, v)])
+        got = {
+            r.vec_id: r
+            for r in incremental_embedding_dedup(
+                spark, b, ck, now=2, dim=self.DIM, params=self.P,
+                update_state=False,
+            ).collect()
+        }
+        assert got["10"].is_emb_dup_history is False
+        assert got["11"].is_emb_dup_history and got["11"].hist_vec_id == "1"
+        # different geometry on the same checkpoint: loud failure
+        with pytest.raises(ValueError, match="bits"):
+            incremental_embedding_dedup(
+                spark, b, ck, now=3, dim=self.DIM, bits=8, params=self.P,
+                update_state=False,
+            )
