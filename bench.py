@@ -274,6 +274,60 @@ def run_headline(cpus: int, sf_dir: str) -> dict:
     extras["incremental_dups_caught"] = int(n_dup)
     extras["incremental_docs_per_sec"] = round(n_day2 / q["incremental_recrawl_200k"])
 
+    # incremental EMBEDDING dedup at scale (round 5): 100k synthetic
+    # 64-dim vectors as day-1 history, then a 100k day-2 shard with 5%
+    # exact re-uploads — the timed job is the full semantic probe
+    # (fused bucket-key kernel → sketch probe → bucket-ledger candidate
+    # fetch → exact-cosine verify), query-only so reps are identical
+    from fuggetabouspark.dataops import incremental_embedding_dedup
+
+    EDIM, NVEC = 64, 100_000
+
+    def vec_of(key):
+        # deterministic pseudo-embedding of a key column: dims drawn
+        # from xxhash64(key, j), uniform in [-1, 1], never all-zero
+        return F.transform(
+            F.sequence(F.lit(1), F.lit(EDIM)),
+            lambda j: (
+                (F.pmod(F.xxhash64(key * 131 + j.cast("long")), F.lit(2001))
+                 - 1000) / 1000.0
+            ).cast("float"),
+        )
+
+    day1v = spark.range(NVEC).select(
+        F.col("id").alias("vec_id"), vec_of(F.col("id")).alias("embedding")
+    )
+    eck = tempfile.mkdtemp(prefix="fgs_bench_emb_")
+    ep = TimingParams(capacity=1_000_000, error=0.001, window_ticks=2**31)
+    # bits sized for the corpus: 2^16 buckets/table keeps candidate
+    # fan-out ~1-2 partners per key at 100k vectors (2^12 would put
+    # ~24 vecs in every bucket and explode the verify set)
+    incremental_embedding_dedup(
+        spark, day1v, eck, now=1, dim=EDIM, bits=16, params=ep, partitions=cpus
+    ).unpersist()
+    # day 2: every 20th id is an exact re-upload of a day-1 vector
+    key2 = F.when(
+        F.col("id") % 20 == 0, F.col("id") - NVEC
+    ).otherwise(F.col("id"))
+    day2v = spark.range(NVEC, 2 * NVEC).select(
+        F.col("id").alias("vec_id"), vec_of(key2).alias("embedding")
+    )
+
+    def emb_probe():
+        ann = incremental_embedding_dedup(
+            spark, day2v, eck, now=2, dim=EDIM, bits=16, params=ep,
+            partitions=cpus, update_state=False,
+        )
+        n = ann.where("is_emb_dup_history").count()
+        ann.unpersist()
+        return n
+
+    emb_probe()  # warm
+    q["incremental_emb_100k_vecs"], n_emb_dup = _best(emb_probe)
+    shutil.rmtree(eck, ignore_errors=True)
+    extras["emb_dups_caught"] = int(n_emb_dup)
+    extras["emb_vecs_per_sec"] = round(NVEC / q["incremental_emb_100k_vecs"])
+
     # repeated-passage removal at corpus scale: detect + mask over the
     # rendered token stream (35 M tokens). Round 5 (VERDICT r04 #5):
     # the synthetic corpus has no natural 50-token repeats, so ~5% of
