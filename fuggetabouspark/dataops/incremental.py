@@ -568,6 +568,14 @@ class StreamingIngestGuard:
     window/stride via passage_window / passage_stride, sketch sizing
     via passage_params (capacity ≈ retained distinct window fps).
     Requires ``clean_dir`` (the survivor set is only defined there).
+
+    ``embeddings=True`` (round 5) adds the SEMANTIC granularity: each
+    batch's ``emb_vec_col`` vectors (keyed by doc_id) run through
+    incremental_embedding_dedup under the same epoch protocol — its
+    state commits before the exact marker with exclude_epoch replay
+    protection, and the clean stream keeps only docs that also survive
+    the semantic check. ``emb_dim`` is required; geometry via
+    emb_bits/emb_tables, sizing via emb_params.
     """
 
     def __init__(
@@ -592,6 +600,13 @@ class StreamingIngestGuard:
         passage_window: int = 50,
         passage_stride: int = 1,
         passage_params=None,
+        embeddings: bool = False,
+        emb_dim: int | None = None,
+        emb_threshold: float = 0.9,
+        emb_bits: int = 12,
+        emb_tables: int = 8,
+        emb_vec_col: str = "embedding",
+        emb_params=None,
     ):
         self.spark = spark
         self.checkpoint_dir = checkpoint_dir
@@ -622,6 +637,15 @@ class StreamingIngestGuard:
         self.passage_window = passage_window
         self.passage_stride = passage_stride
         self.passage_params = passage_params
+        if embeddings and emb_dim is None:
+            raise ValueError("embeddings=True requires emb_dim")
+        self.embeddings = embeddings
+        self.emb_dim = emb_dim
+        self.emb_threshold = emb_threshold
+        self.emb_bits = emb_bits
+        self.emb_tables = emb_tables
+        self.emb_vec_col = emb_vec_col
+        self.emb_params = emb_params
         self._batches_done = 0
 
     def process_batch(self, batch_df, epoch_id: int) -> None:
@@ -635,6 +659,23 @@ class StreamingIngestGuard:
         if any(m.get("epoch") == int(epoch_id) for m in done):
             return  # fully committed (incl. clean output — see class doc)
         ep, now = int(epoch_id), self.now_for_epoch(epoch_id)
+
+        emb_ann = None
+        if self.embeddings:
+            # semantic state commits first (own lineage under emb/),
+            # same exclude_epoch replay protection as the near half
+            emb_ann = incremental_embedding_dedup(
+                self.spark,
+                batch_df.select(
+                    F.col("doc_id").alias("vec_id"),
+                    F.col(self.emb_vec_col).alias("embedding"),
+                ),
+                self.checkpoint_dir, now=now, dim=self.emb_dim,
+                threshold=self.emb_threshold, bits=self.emb_bits,
+                tables=self.emb_tables, window=self.window,
+                params=self.emb_params, partitions=self.partitions,
+                meta_extra={"epoch": ep}, exclude_epoch=ep,
+            )
 
         near_ann = None
         if self.near:
@@ -665,6 +706,11 @@ class StreamingIngestGuard:
                     ~F.col("is_near_dup_history") & ~F.col("is_near_dup_intra")
                 ).select(F.col("doc_id").alias("_k"))
                 keep = keep.join(F.broadcast(near_keep), "_k", "left_semi")
+            if emb_ann is not None:
+                emb_keep = emb_ann.where(
+                    ~F.col("is_emb_dup_history")
+                ).select(F.col("vec_id").alias("_k"))
+                keep = keep.join(F.broadcast(emb_keep), "_k", "left_semi")
             # survivors keep the batch's ORIGINAL columns and doc_id
             # type — the join key is a derived string column, dropped
             # after the semi-join (code-review r04: the old path
@@ -736,6 +782,8 @@ class StreamingIngestGuard:
         ann.unpersist()
         if near_ann is not None:
             near_ann.unpersist()
+        if emb_ann is not None:
+            emb_ann.unpersist()
         self._batches_done += 1
         if self.compact_every and self._batches_done % self.compact_every == 0:
             compact_dedup_checkpoint(self.spark, self.checkpoint_dir)
@@ -743,6 +791,8 @@ class StreamingIngestGuard:
                 compact_near_checkpoint(self.spark, self.checkpoint_dir)
             if self.passages:
                 compact_passages_checkpoint(self.spark, self.checkpoint_dir)
+            if self.embeddings:
+                compact_emb_checkpoint(self.spark, self.checkpoint_dir)
         if self.expire_every and self._batches_done % self.expire_every == 0:
             expire_ledgers(self.spark, self.checkpoint_dir, now=now)
 

@@ -955,3 +955,34 @@ class TestIncrementalEmbeddingDedup:
                 spark, b, ck, now=3, dim=self.DIM, bits=8, params=self.P,
                 update_state=False,
             )
+
+    def test_guard_embeddings_mode(self, spark, ck):
+        """Guard embeddings=True: a doc whose TEXT is novel but whose
+        VECTOR exactly re-uploads retained history is dropped from the
+        clean stream; committed-epoch replays are skipped."""
+        import os
+
+        import numpy as np
+
+        from fuggetabouspark.dataops import StreamingIngestGuard
+
+        clean = os.path.join(ck, "clean")
+        g = StreamingIngestGuard(
+            spark, ck, clean_dir=clean, embeddings=True, emb_dim=self.DIM,
+            params=self.P, emb_params=self.P, compact_every=None,
+        )
+        rng = np.random.default_rng(9)
+        v1 = [float(x) for x in rng.normal(size=self.DIM).astype("float32")]
+        v2 = [float(x) for x in rng.normal(size=self.DIM).astype("float32")]
+        ddl = "doc_id long, text string, embedding array<float>"
+        g.process_batch(
+            spark.createDataFrame([(1, "first text", v1)], ddl), 0
+        )
+        b1 = spark.createDataFrame(
+            [(2, "totally different words", v1), (3, "fresh doc", v2)], ddl
+        )
+        g.process_batch(b1, 1)
+        kept = {r.doc_id for r in spark.read.parquet(clean).collect()}
+        assert kept == {1, 3}  # doc 2: semantic re-upload of doc 1
+        g.process_batch(b1, 1)  # committed replay: skipped
+        assert spark.read.parquet(clean).count() == 2
