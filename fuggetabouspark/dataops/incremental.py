@@ -570,12 +570,17 @@ class StreamingIngestGuard:
     Requires ``clean_dir`` (the survivor set is only defined there).
 
     ``embeddings=True`` (round 5) adds the SEMANTIC granularity: each
-    batch's ``emb_vec_col`` vectors (keyed by doc_id) run through
-    incremental_embedding_dedup under the same epoch protocol — its
-    state commits before the exact marker with exclude_epoch replay
-    protection, and the clean stream keeps only docs that also survive
-    the semantic check. ``emb_dim`` is required; geometry via
-    emb_bits/emb_tables, sizing via emb_params.
+    batch's ``emb_vec_col`` vectors (keyed by doc_id) are FLAGGED
+    against history by incremental_embedding_dedup, and the PUBLISHED
+    survivors' vectors are committed to semantic history inside the
+    clean-publish hook (commit_emb_state — flags on the full batch,
+    state from survivors only, so no unpublished vector can suppress
+    future docs), all strictly before the exact epoch marker.
+    ``emb_dim`` is required; geometry via emb_bits/emb_tables, sizing
+    via emb_params. Scope note: INTRA-batch semantic duplicates are
+    not filtered (same scoping as the operator itself — run
+    embedding_near_dup on the batch upstream if needed); both copies
+    publish and both vectors enter history.
     """
 
     def __init__(
@@ -662,25 +667,26 @@ class StreamingIngestGuard:
 
         emb_ann = None
         if self.embeddings:
-            # semantic state commits first (own lineage under emb/),
-            # same exclude_epoch replay protection as the near half
+            # FLAGS ONLY here (update_state=False): semantic state is
+            # committed inside publish_clean on the PUBLISHED survivor
+            # set, so a doc dropped by exact/near dedup can never
+            # leave its vector in history as an unpublished keeper
+            # that suppresses future docs (code-review r05 fifth
+            # pass — the passages survivor rule, applied here)
             emb_ann = incremental_embedding_dedup(
-                self.spark,
-                batch_df.select(
-                    F.col("doc_id").alias("vec_id"),
-                    F.col(self.emb_vec_col).alias("embedding"),
-                ),
+                self.spark, batch_df,
                 self.checkpoint_dir, now=now, dim=self.emb_dim,
                 threshold=self.emb_threshold, bits=self.emb_bits,
                 tables=self.emb_tables, window=self.window,
                 params=self.emb_params, partitions=self.partitions,
-                meta_extra={"epoch": ep}, exclude_epoch=ep,
+                vec_col=self.emb_vec_col, id_col="doc_id",
+                update_state=False, exclude_epoch=ep,
             )
 
         near_ann = None
         if self.near:
-            # near state commits FIRST under its own lineage; the exact
-            # lineage row below remains the epoch's final marker. On a
+            # near state commits under its own lineage, before the
+            # exact lineage row below (the epoch's final marker). On a
             # crash-replay, exclude_epoch keeps a prior attempt's
             # committed near shards out of the history this attempt
             # probes (see class doc).
@@ -721,6 +727,20 @@ class StreamingIngestGuard:
                 .drop("_k")
                 .withColumn("_epoch", F.lit(int(epoch_id)))
             )
+            if self.embeddings:
+                out = out.localCheckpoint(eager=True)
+                # survivor-only semantic state commit (flags were
+                # computed on the full batch above); no probe happens
+                # here, so replay safety needs no epoch exclusion —
+                # but the shard is epoch-tagged for it anyway
+                commit_emb_state(
+                    self.spark, out, self.checkpoint_dir, now=now,
+                    dim=self.emb_dim, bits=self.emb_bits,
+                    tables=self.emb_tables, params=self.emb_params,
+                    vec_col=self.emb_vec_col, id_col="doc_id",
+                    partitions=self.partitions,
+                    meta_extra={"epoch": ep},
+                )
             if self.passages:
                 # frozen once: the survivor frame feeds the passage
                 # kernel AND the mask join-back (code-review r05 —
@@ -1599,8 +1619,20 @@ def _emb_table_keys(
     def assign(iterator):
         for tbl in iterator:
             col = tbl.column(vec_col)
-            flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float32)
             n = len(tbl)
+            # fail loudly on null / wrong-length vectors: a null list
+            # contributes 0 elements, so an unguarded reshape either
+            # aborts cryptically or — if length errors cancel — shifts
+            # every later row onto WRONG bucket keys (silent false
+            # negatives; code-review r05 fifth pass #3)
+            if col.null_count:
+                raise ValueError(f"{vec_col} contains {col.null_count} null vectors")
+            flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float32)
+            if flat.size != n * dim:
+                raise ValueError(
+                    f"{vec_col} is ragged: {n} vectors yield {flat.size} "
+                    f"floats, expected {n * dim} (dim={dim})"
+                )
             proj = flat.reshape(n, dim) @ planes.T            # (n, T*B)
             signs = (proj > 0).astype(np.int64).reshape(n, tables, bits)
             buckets = (signs * weights).sum(axis=2)           # (n, T)
@@ -1797,51 +1829,123 @@ def incremental_embedding_dedup(
     ).localCheckpoint(eager=True)
 
     if update_state:
-        shard = len(_emb_completed(spark, checkpoint_dir))
-        keep = ann.where(~F.col("is_emb_dup_history")).select("vec_id")
-        kept_keys = keyed.join(F.broadcast(keep), "vec_id")
-        shaped = kept_keys.select(
-            F.col("vec_id").alias("doc_id"),
-            F.array("bkey").alias("tokens"),
-            F.lit(1).alias("n_tok"),
-            F.lit(now).cast("long").alias("tick"),
-        )
-        spec = SketchSpec(EMB_SPEC, kind, params, value="tokens")
-        built = build_sketches(
-            shaped, [spec], group_cols=(), tick_col=F.col("tick"),
-            partitions=partitions,
-        ).where(F.col("spec") == EMB_SPEC)
-        _heal_swap(state_path)
-        _heal_swap(bucket_path)
-        _heal_swap(vec_path)
-        built.withColumn("shard", F.lit(shard)).selectExpr(
-            "spec", "group", "payload", "n_items", "cast(shard as int) shard"
-        ).write.mode("append").parquet(state_path)
-        kept_keys.select(
-            "bkey", "vec_id", F.lit(now).cast("long").alias("tick"),
-            F.lit(shard).cast("int").alias("shard"),
-        ).write.mode("append").parquet(bucket_path)
-        src.join(F.broadcast(keep), "vec_id").select(
-            "vec_id", "embedding", F.lit(now).cast("long").alias("tick"),
-            F.lit(shard).cast("int").alias("shard"),
-        ).write.mode("append").parquet(vec_path)
-        if pre_lineage_hook is not None:
-            # caller-durable output strictly before the lineage marker
-            # (family-wide exactly-once contract)
-            pre_lineage_hook(ann)
         counts = ann.agg(
             F.count("*").alias("n"),
             F.sum(F.col("is_emb_dup_history").cast("long")).alias("h"),
         ).collect()[0]
-        meta = {
-            "shard": shard, "now": int(now), "kind": "emb_dup",
-            "bits": int(bits), "tables": int(tables), "dim": int(dim),
-            "n_vecs": int(counts["n"]),
-            "n_emb_dup_history": int(counts["h"] or 0),
-            "n_retained": int(counts["n"]) - int(counts["h"] or 0),
-            **(meta_extra or {}),
-        }
-        spark.createDataFrame(
-            [(shard, json.dumps(meta, sort_keys=True))], "shard int, meta string"
-        ).write.mode("append").parquet(lineage_path)
+        keep = ann.where(~F.col("is_emb_dup_history")).select("vec_id")
+        _commit_emb_rows(
+            spark, src.join(F.broadcast(keep), "vec_id"),
+            keyed.join(F.broadcast(keep), "vec_id"),
+            checkpoint_dir, now,
+            dict(bits=bits, tables=tables, dim=dim, kind_="emb_dup",
+                 n_vecs=int(counts["n"]),
+                 n_emb_dup_history=int(counts["h"] or 0),
+                 n_retained=int(counts["n"]) - int(counts["h"] or 0),
+                 **(meta_extra or {})),
+            params=params, partitions=partitions,
+            pre_lineage=lambda: pre_lineage_hook(ann) if pre_lineage_hook else None,
+        )
     return ann
+
+
+def _commit_emb_rows(
+    spark, vec_rows, key_rows, checkpoint_dir, now, meta_fields,
+    params, partitions, pre_lineage=None,
+):
+    """Append (vec_id, embedding) rows + their bucket keys to the emb
+    history state — sketch first, ledgers, caller-durable output,
+    lineage LAST (the family write order). No probing: commit is
+    independent of annotation, which is what lets the guard flag the
+    FULL batch but retain only the PUBLISHED survivors (code-review
+    r05 fifth pass #1 — the passages survivor-keeper rule applied to
+    the semantic half)."""
+    from ..params import ScalingParams
+    from ..pipeline import SketchSpec, build_sketches
+
+    kind = "stbf" if isinstance(params, ScalingParams) else "tbf"
+    state_path, bucket_path, vec_path, lineage_path = _emb_paths(checkpoint_dir)
+    shard = len(_emb_completed(spark, checkpoint_dir))
+    shaped = key_rows.select(
+        F.col("vec_id").alias("doc_id"),
+        F.array("bkey").alias("tokens"),
+        F.lit(1).alias("n_tok"),
+        F.lit(now).cast("long").alias("tick"),
+    )
+    spec = SketchSpec(EMB_SPEC, kind, params, value="tokens")
+    built = build_sketches(
+        shaped, [spec], group_cols=(), tick_col=F.col("tick"),
+        partitions=partitions,
+    ).where(F.col("spec") == EMB_SPEC)
+    _heal_swap(state_path)
+    _heal_swap(bucket_path)
+    _heal_swap(vec_path)
+    built.withColumn("shard", F.lit(shard)).selectExpr(
+        "spec", "group", "payload", "n_items", "cast(shard as int) shard"
+    ).write.mode("append").parquet(state_path)
+    key_rows.select(
+        "bkey", "vec_id", F.lit(now).cast("long").alias("tick"),
+        F.lit(shard).cast("int").alias("shard"),
+    ).write.mode("append").parquet(bucket_path)
+    vec_rows.select(
+        "vec_id", "embedding", F.lit(now).cast("long").alias("tick"),
+        F.lit(shard).cast("int").alias("shard"),
+    ).write.mode("append").parquet(vec_path)
+    if pre_lineage is not None:
+        pre_lineage()
+    kind_ = meta_fields.pop("kind_", "emb_dup")
+    meta = {"shard": shard, "now": int(now), "kind": kind_, **meta_fields}
+    spark.createDataFrame(
+        [(shard, json.dumps(meta, sort_keys=True))], "shard int, meta string"
+    ).write.mode("append").parquet(lineage_path)
+
+
+def commit_emb_state(
+    spark,
+    new_df: DataFrame,
+    checkpoint_dir: str,
+    now: int,
+    dim: int,
+    bits: int = 12,
+    tables: int = 8,
+    params=None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    partitions: int | None = None,
+    meta_extra: dict | None = None,
+) -> None:
+    """Append ``new_df``'s vectors to the emb history WITHOUT probing
+    — the survivor-commit half of a split flag-then-publish protocol:
+    annotate the full batch with update_state=False, decide what gets
+    published, then commit exactly the published set here (the guard's
+    embeddings mode does this; committing unpublished vectors would
+    let them suppress future docs with no published keeper). Geometry
+    must match the checkpoint's (validated, like the probe path)."""
+    from ..params import TimingParams
+
+    if params is None:
+        params = TimingParams(capacity=2_000_000, error=0.001, window_ticks=2**31)
+    prior = [m for m in _emb_completed(spark, checkpoint_dir) if "bits" in m]
+    if prior:
+        g = prior[-1]
+        if (int(g["bits"]), int(g["tables"]), int(g["dim"])) != (bits, tables, dim):
+            raise ValueError(
+                f"emb checkpoint geometry bits={g['bits']} tables={g['tables']} "
+                f"dim={g['dim']} != bits={bits} tables={tables} dim={dim}"
+            )
+    src = new_df.select(
+        F.col(id_col).cast("string").alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+    )
+    keyed = _emb_table_keys(
+        src, dim=dim, bits=bits, tables=tables,
+        vec_col="embedding", id_col="vec_id",
+    ).localCheckpoint(eager=True)
+    n = src.count()
+    _commit_emb_rows(
+        spark, src, keyed, checkpoint_dir, now,
+        dict(bits=bits, tables=tables, dim=dim, kind_="emb_dup",
+             n_vecs=int(n), n_emb_dup_history=0, n_retained=int(n),
+             **(meta_extra or {})),
+        params=params, partitions=partitions,
+    )

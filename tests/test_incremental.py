@@ -986,3 +986,35 @@ class TestIncrementalEmbeddingDedup:
         assert kept == {1, 3}  # doc 2: semantic re-upload of doc 1
         g.process_batch(b1, 1)  # committed replay: skipped
         assert spark.read.parquet(clean).count() == 2
+
+    def test_guard_emb_state_covers_published_survivors_only(self, spark, ck):
+        """code-review r05 (fifth pass): a doc dropped by exact dedup
+        must not leave its novel VECTOR in semantic history — it has
+        no published keeper, so future docs with that vector would be
+        suppressed with no surviving copy."""
+        import os
+
+        import numpy as np
+
+        from fuggetabouspark.dataops import StreamingIngestGuard
+
+        clean = os.path.join(ck, "clean")
+        g = StreamingIngestGuard(
+            spark, ck, clean_dir=clean, embeddings=True, emb_dim=self.DIM,
+            params=self.P, emb_params=self.P, compact_every=None,
+        )
+        rng = np.random.default_rng(21)
+        v1 = [float(x) for x in rng.normal(size=self.DIM).astype("float32")]
+        v2 = [float(x) for x in rng.normal(size=self.DIM).astype("float32")]
+        ddl = "doc_id long, text string, embedding array<float>"
+        g.process_batch(spark.createDataFrame([(1, "text one", v1)], ddl), 0)
+        # doc 2: exact TEXT dup (dropped) carrying NOVEL vector v2
+        g.process_batch(spark.createDataFrame([(2, "text one", v2)], ddl), 1)
+        assert spark.read.parquet(clean).where("_epoch = 1").count() == 0
+        # doc 3: novel text + v2 — must publish (v2 never published)
+        g.process_batch(spark.createDataFrame([(3, "text three", v2)], ddl), 2)
+        assert {r.doc_id for r in
+                spark.read.parquet(clean).where("_epoch = 2").collect()} == {3}
+        # doc 4: v2 again — NOW suppressed by doc 3's published copy
+        g.process_batch(spark.createDataFrame([(4, "text four", v2)], ddl), 3)
+        assert spark.read.parquet(clean).where("_epoch = 3").count() == 0
