@@ -379,26 +379,30 @@ def connected_components(
         # pointer jumping: comp ← comp(comp). Labels are always node
         # ids present in lab (min over seen node ids), so the hop join
         # matches every row; comp(m) <= m by construction, making the
-        # hop monotone — least() is a pure safety belt.
+        # hop monotone — least() is a pure safety belt. The old label
+        # is joined back in the SAME job so convergence detection needs
+        # no third shuffle job per round (round 6): _chg marks rows
+        # whose post-hop label differs from last round's, and the
+        # convergence probe below is a limit(1) scan of the
+        # checkpointed result, not a join.
         hop = new.select(F.col("node").alias("comp"), F.col("comp").alias("comp2"))
         new = (
             new.join(hop, "comp", "left")
+            .join(lab.select("node", F.col("comp").alias("_old")), "node")
             .select(
                 "node",
                 F.least(F.col("comp"), F.coalesce("comp2", "comp")).alias("comp"),
+                (
+                    F.least(F.col("comp"), F.coalesce("comp2", "comp"))
+                    != F.col("_old")
+                ).alias("_chg"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new.alias("n")
-            .join(lab.alias("o"), "node")
-            .where(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
-        lab = new
+        changed = new.where("_chg").limit(1).count()
+        lab = new.select("node", "comp")
         if changed == 0:
-            out = lab.select("node", "comp")
+            out = lab
             return (out, rounds) if return_rounds else out
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 

@@ -102,35 +102,70 @@ def _heal_swap(path: str) -> None:
         os.rename(path + "_old", path)
 
 
+def _pa_read_table(path: str, columns=None):
+    """Driver-side parquet read via pyarrow — NO Spark job. The
+    lineage and sketch-state directories are small driver-local
+    artifacts read on EVERY ingest/probe; a full Spark job per read
+    (plan + schedule + collect through py4j) dominated steady-state
+    per-trigger cost (round 6, guide §5: the driver should do almost
+    no data work — and these reads ARE driver work either way, the
+    Spark detour just made them slower). pyarrow.dataset skips
+    '_'-prefixed files (_SUCCESS) exactly as Spark's reader does; the
+    incremental checkpoint layout already assumes a filesystem path
+    (os.path/shutil swap protocol), so a pyarrow-readable location is
+    an existing module-wide invariant, not a new one."""
+    import pyarrow.dataset as ds
+
+    return ds.dataset(path, format="parquet").to_table(columns=columns)
+
+
 def _completed_metas(spark, lineage_path: str) -> list[dict]:
     """Lineage metadata of completed shards at ``lineage_path``, in
     shard order — shared by all three incremental operators
     (code-review r05: the recovery rules must live once)."""
     if not os.path.exists(lineage_path):
         return []
-    rows = spark.read.parquet(lineage_path).collect()
-    return sorted((json.loads(r["meta"]) for r in rows), key=lambda m: m["shard"])
+    metas = _pa_read_table(lineage_path, columns=["meta"]).column("meta").to_pylist()
+    return sorted((json.loads(m) for m in metas), key=lambda m: m["shard"])
 
 
-def _load_sketch_state(spark, state_path: str, done: list[int], spec: str):
+def _load_sketch_state(spark, state_path: str, done: list[int], spec: str,
+                       with_raw: bool = False):
     """Merged membership sketch over the completed shards' rows (plus
     the always-valid shard=-1 compacted row), with the _old fallback
     for a compaction that crashed mid-swap — the single implementation
     behind all three operators' state loaders. Merge-all within the
     completed set: union-only monoids are one-sided safe under
-    crash-retried shard ids (see load_dedup_state's docstring)."""
-    from ..pipeline import merge_rows_to_sketches
+    crash-retried shard ids (see load_dedup_state's docstring).
+
+    ``with_raw=True`` returns ``(sketch, raw_payload_or_None)``: when
+    exactly ONE row contributed, the merged sketch IS that row's
+    payload, and the probe path can broadcast the stored bytes as-is
+    instead of paying a zlib re-compress of the full bucket array
+    (round 6; post-compaction steady state is exactly one row)."""
+    from ..sketches import sketch_from_bytes
 
     if not os.path.exists(state_path) and os.path.exists(state_path + "_old"):
         state_path = state_path + "_old"
     if not done or not os.path.exists(state_path):
-        return None
-    df = spark.read.parquet(state_path).where(
-        (F.col("shard").isin(done) | (F.col("shard") == -1))
-        & (F.col("spec") == spec)
-    )
-    merged = merge_rows_to_sketches(df.collect())
-    return merged.get((spec, ""))
+        return (None, None) if with_raw else None
+    tbl = _pa_read_table(state_path, columns=["spec", "payload", "shard"])
+    ok = set(done) | {-1}
+    payloads = [
+        p.as_py()
+        for s, p, sh in zip(
+            tbl.column("spec"), tbl.column("payload"), tbl.column("shard")
+        )
+        if s.as_py() == spec and sh.as_py() in ok
+    ]
+    if not payloads:
+        return (None, None) if with_raw else None
+    sk = sketch_from_bytes(payloads[0])
+    for p in payloads[1:]:
+        sk = sk.merge(sketch_from_bytes(p))
+    if with_raw:
+        return sk, (payloads[0] if len(payloads) == 1 else None)
+    return sk
 
 
 def _done_shards(metas: list[dict], exclude_epoch) -> list[int]:
@@ -147,7 +182,8 @@ def _done_shards(metas: list[dict], exclude_epoch) -> list[int]:
     ]
 
 
-def load_dedup_state(spark, checkpoint_dir: str, exclude_epoch=None):
+def load_dedup_state(spark, checkpoint_dir: str, exclude_epoch=None,
+                     with_raw: bool = False):
     """Merged membership sketch from all COMPLETED shards (those with
     a durable lineage row), or None if no shard ever completed.
 
@@ -174,7 +210,8 @@ def load_dedup_state(spark, checkpoint_dir: str, exclude_epoch=None):
     by the time a replay needs the exclusion."""
     state_path, _, _ = _paths(checkpoint_dir)
     done = _done_shards(completed_shards(spark, checkpoint_dir), exclude_epoch)
-    return _load_sketch_state(spark, state_path, done, DEDUP_SPEC)
+    return _load_sketch_state(spark, state_path, done, DEDUP_SPEC,
+                              with_raw=with_raw)
 
 
 def compact_dedup_checkpoint(spark, checkpoint_dir: str):
@@ -298,6 +335,16 @@ def completed_shards(spark, checkpoint_dir: str) -> list[dict]:
     return _completed_metas(spark, _paths(checkpoint_dir)[2])
 
 
+def _shard_fps(new_df: DataFrame, text_col: str, tick_col, now: int) -> DataFrame:
+    """The shard's (doc_id, fp, tick) frame — the only shape the exact
+    incremental operator ever looks at (one row per doc, ~25 B)."""
+    return new_df.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.xxhash64(F.col(text_col)).alias("fp"),
+        (tick_col if tick_col is not None else F.lit(now)).cast("long").alias("tick"),
+    )
+
+
 def annotate_against_history(
     spark,
     new_df: DataFrame,
@@ -307,6 +354,7 @@ def annotate_against_history(
     text_col: str = "text",
     tick_col=None,
     exclude_epoch=None,
+    fps_df: DataFrame | None = None,
 ) -> DataFrame:
     """The LAZY annotated-flags plan incremental_dedup materializes:
     exposed separately so plan gates (tools/explain_plans.py) can
@@ -314,17 +362,22 @@ def annotate_against_history(
     the ledger verify a BroadcastHashJoin — instead of a hand-built
     replica (code-review r04). Callers who want the flags should use
     incremental_dedup(update_state=False): the raw plan re-reads the
-    checkpoint on every action."""
-    from ..queries import _with_window, seen_within_distributed, sk_window
+    checkpoint on every action.
 
-    fps = new_df.select(
-        F.col("doc_id").cast("string").alias("doc_id"),
-        F.xxhash64(F.col(text_col)).alias("fp"),
-        (tick_col if tick_col is not None else F.lit(now)).cast("long").alias("tick"),
-    )
+    ``fps_df``: a pre-computed (ideally localCheckpoint()ed) frame of
+    _shard_fps(new_df, ...) — the returned plan references the fp
+    frame THREE times (probe keys, intra-shard firsts, the annotated
+    left side), so a caller that materializes it once saves two
+    scan+hash passes over the shard text per action (round 6, guide
+    §2.4; incremental_dedup does exactly this)."""
+    from ..queries import _with_window, seen_within_payloads, sk_window
+
+    fps = fps_df if fps_df is not None else _shard_fps(new_df, text_col, tick_col, now)
 
     # ---- history probe: broadcast sketch, then exact ledger verify ----
-    sk = load_dedup_state(spark, checkpoint_dir, exclude_epoch=exclude_epoch)
+    sk, raw = load_dedup_state(
+        spark, checkpoint_dir, exclude_epoch=exclude_epoch, with_raw=True
+    )
     if sk is not None:
         w = window if window is not None else sk_window(sk)
         if w > sk_window(sk):
@@ -335,13 +388,14 @@ def annotate_against_history(
             )
         if w != sk_window(sk):
             sk = _with_window(sk, w)
-        state_df = spark.createDataFrame(
-            [(DEDUP_SPEC, "", bytearray(sk.to_bytes()), int(sk.n_items))],
-            "spec string, group string, payload binary, n_items long",
-        )
+            raw = None  # re-windowed: stored payload no longer matches
+        # seen_within_payloads: the payload goes straight to the
+        # broadcast (content-cached), skipping the createDataFrame →
+        # collect round trip of ~state-size bytes per probe (round 6)
+        payload = raw if raw is not None else sk.to_bytes()
         hits = (
-            seen_within_distributed(
-                spark, state_df, DEDUP_SPEC,
+            seen_within_payloads(
+                spark, [("", payload)],
                 fps.select(F.col("fp").alias("key")), now, only_seen=True,
             )
             .select(F.col("key").alias("fp"))
@@ -437,10 +491,17 @@ def incremental_dedup(
     kind = "stbf" if isinstance(params, ScalingParams) else "tbf"
     state_path, ledger_path, lineage_path = _paths(checkpoint_dir)
 
+    # one scan of the shard text: the annotated plan references the fp
+    # frame three times (probe keys, intra-shard firsts, the annotated
+    # left side) and an un-materialized fps would re-scan + re-hash the
+    # shard per reference inside the localCheckpoint job below (round
+    # 6, guide §2.4 — measured 3 corpus scans in one job). Shard-sized
+    # rows only (doc_id, fp, tick ≈ 25 B/doc).
+    fps = _shard_fps(new_df, text_col, tick_col, now).localCheckpoint(eager=True)
     ann = annotate_against_history(
         spark, new_df, checkpoint_dir, now,
         window=window, text_col=text_col, tick_col=tick_col,
-        exclude_epoch=exclude_epoch,
+        exclude_epoch=exclude_epoch, fps_df=fps,
     )
     # localCheckpoint, not persist: the annotated plan READS the ledger
     # path this function is about to APPEND to, and Spark's cache
@@ -644,6 +705,16 @@ class StreamingIngestGuard:
         self.passage_params = passage_params
         if embeddings and emb_dim is None:
             raise ValueError("embeddings=True requires emb_dim")
+        if embeddings and clean_dir is None:
+            # semantic state is committed only inside publish_clean
+            # (survivor-only rule); without clean_dir the commit never
+            # runs, emb history never grows, and the per-batch probe
+            # burns compute while is_emb_dup_history stays false — a
+            # silent no-op (ADVICE r05 #1; mirrors the passages guard)
+            raise ValueError(
+                "embeddings=True requires clean_dir: semantic history is "
+                "committed for the published survivor set only"
+            )
         self.embeddings = embeddings
         self.emb_dim = emb_dim
         self.emb_threshold = emb_threshold
@@ -896,12 +967,14 @@ def near_history_matches(
       the shard's own signature frame.
     The only exchanges left are distinct/groupBy over SHARD-sized
     candidate rows."""
-    from ..queries import _with_window, seen_within_distributed, sk_window
+    from ..queries import _with_window, seen_within_payloads, sk_window
 
     empty = spark.createDataFrame(
         [], "doc_id string, hist_doc_id string, est_jaccard double"
     )
-    sk = _load_near_state(spark, checkpoint_dir, exclude_epoch=exclude_epoch)
+    sk, raw = _load_near_state(
+        spark, checkpoint_dir, exclude_epoch=exclude_epoch, with_raw=True
+    )
     if sk is None:
         return empty
     w = window if window is not None else sk_window(sk)
@@ -911,13 +984,10 @@ def near_history_matches(
         )
     if w != sk_window(sk):
         sk = _with_window(sk, w)
-    state_df = spark.createDataFrame(
-        [(NEAR_SPEC, "", bytearray(sk.to_bytes()), int(sk.n_items))],
-        "spec string, group string, payload binary, n_items long",
-    )
+        raw = None  # re-windowed: stored payload no longer matches
     hits = (
-        seen_within_distributed(
-            spark, state_df, NEAR_SPEC,
+        seen_within_payloads(
+            spark, [("", raw if raw is not None else sk.to_bytes())],
             banded.select(F.col("bkey").alias("key")), now, only_seen=True,
         )
         .select(F.col("key").alias("bkey"))
@@ -1168,13 +1238,14 @@ def _near_completed(spark, checkpoint_dir: str) -> list[dict]:
     return _completed_metas(spark, _near_paths(checkpoint_dir)[3])
 
 
-def _load_near_state(spark, checkpoint_dir: str, exclude_epoch=None):
+def _load_near_state(spark, checkpoint_dir: str, exclude_epoch=None,
+                     with_raw: bool = False):
     """Merged band-key membership sketch over completed shards (same
     lineage-gated, merge-all recovery + same-epoch-exclusion rules as
     load_dedup_state — one implementation, _load_sketch_state)."""
     done = _done_shards(_near_completed(spark, checkpoint_dir), exclude_epoch)
     return _load_sketch_state(
-        spark, _near_paths(checkpoint_dir)[0], done, NEAR_SPEC
+        spark, _near_paths(checkpoint_dir)[0], done, NEAR_SPEC, with_raw=with_raw
     )
 
 
@@ -1227,13 +1298,15 @@ def _passage_completed(spark, checkpoint_dir: str) -> list[dict]:
     return _completed_metas(spark, _passage_paths(checkpoint_dir)[2])
 
 
-def _load_passage_state(spark, checkpoint_dir: str, exclude_epoch=None):
+def _load_passage_state(spark, checkpoint_dir: str, exclude_epoch=None,
+                        with_raw: bool = False):
     """Merged window-fp membership sketch over completed passage
     shards (lineage-gated, merge-all, same-epoch-exclusion — the
     recovery rules of load_dedup_state, one implementation)."""
     done = _done_shards(_passage_completed(spark, checkpoint_dir), exclude_epoch)
     return _load_sketch_state(
-        spark, _passage_paths(checkpoint_dir)[0], done, PASSAGE_SPEC
+        spark, _passage_paths(checkpoint_dir)[0], done, PASSAGE_SPEC,
+        with_raw=with_raw,
     )
 
 
@@ -1294,7 +1367,7 @@ def incremental_passages(
     """
     from ..params import ScalingParams, TimingParams
     from ..pipeline import SketchSpec, build_sketches
-    from ..queries import _with_window, seen_within_distributed, sk_window
+    from ..queries import _with_window, seen_within_payloads, sk_window
     from .dedup import passage_fingerprints
 
     if params is None:
@@ -1312,7 +1385,9 @@ def incremental_passages(
         src, window=window, stride=stride, with_positions=True
     ).localCheckpoint(eager=True)
 
-    sk = _load_passage_state(spark, checkpoint_dir, exclude_epoch=exclude_epoch)
+    sk, raw = _load_passage_state(
+        spark, checkpoint_dir, exclude_epoch=exclude_epoch, with_raw=True
+    )
     if sk is not None:
         w = query_window if query_window is not None else sk_window(sk)
         if w > sk_window(sk):
@@ -1321,13 +1396,10 @@ def incremental_passages(
             )
         if w != sk_window(sk):
             sk = _with_window(sk, w)
-        state_df = spark.createDataFrame(
-            [(PASSAGE_SPEC, "", bytearray(sk.to_bytes()), int(sk.n_items))],
-            "spec string, group string, payload binary, n_items long",
-        )
+            raw = None  # re-windowed: stored payload no longer matches
         hits = (
-            seen_within_distributed(
-                spark, state_df, PASSAGE_SPEC,
+            seen_within_payloads(
+                spark, [("", raw if raw is not None else sk.to_bytes())],
                 wf.select(F.col("fp").alias("key")).distinct(), now, only_seen=True,
             )
             .select(F.col("key").alias("fp"))
@@ -1570,10 +1642,11 @@ def _emb_completed(spark, checkpoint_dir: str) -> list[dict]:
     return _completed_metas(spark, _emb_paths(checkpoint_dir)[3])
 
 
-def _load_emb_state(spark, checkpoint_dir: str, exclude_epoch=None):
+def _load_emb_state(spark, checkpoint_dir: str, exclude_epoch=None,
+                    with_raw: bool = False):
     done = _done_shards(_emb_completed(spark, checkpoint_dir), exclude_epoch)
     return _load_sketch_state(
-        spark, _emb_paths(checkpoint_dir)[0], done, EMB_SPEC
+        spark, _emb_paths(checkpoint_dir)[0], done, EMB_SPEC, with_raw=with_raw
     )
 
 
@@ -1586,24 +1659,18 @@ def compact_emb_checkpoint(spark, checkpoint_dir: str):
     )
 
 
-def _emb_table_keys(
-    df: DataFrame, dim: int, bits: int, tables: int,
-    vec_col: str = "embedding", id_col: str = "vec_id", seed_base: int = 101,
-) -> DataFrame:
-    """(vec_id, bkey): ``tables`` bucket keys per vector from ONE
-    matmul per Arrow batch — the per-table plane sets (identical
-    construction to similarity.hyperplane_buckets, seed_base + 13·t)
-    are stacked into a single (tables·bits, dim) matrix, so the input
-    plan executes once instead of ``tables`` times and the key frame
-    never carries the vectors (code-review r05 third pass #3/#4).
-    Keys are splitmix64(bucket ⊕ mix(t)) — deterministic across
-    shards and partitionings."""
+def _emb_planes(dim: int, bits: int, tables: int, seed_base: int = 101):
+    """The stacked (tables·bits, dim) hyperplane matrix — the
+    per-table plane sets (identical construction to
+    similarity.hyperplane_buckets, seed_base + 13·t) concatenated so
+    one matmul yields every table's projections. Pure function of the
+    seed: the key kernel and the round-6 verify kernel both call this,
+    so bucket keys can never drift between them."""
     import numpy as np
-    import pyarrow as pa
 
     from ..hashing import splitmix64
 
-    planes = np.concatenate([
+    return np.concatenate([
         np.where(
             (splitmix64(
                 np.arange(bits * dim, dtype=np.uint64)
@@ -1612,7 +1679,25 @@ def _emb_table_keys(
             1.0, -1.0,
         ).reshape(bits, dim)
         for t in range(tables)
-    ]).astype(np.float32)  # (tables*bits, dim)
+    ]).astype(np.float32)
+
+
+def _emb_table_keys(
+    df: DataFrame, dim: int, bits: int, tables: int,
+    vec_col: str = "embedding", id_col: str = "vec_id", seed_base: int = 101,
+) -> DataFrame:
+    """(vec_id, bkey): ``tables`` bucket keys per vector from ONE
+    matmul per Arrow batch — the stacked plane matrix (_emb_planes)
+    means the input plan executes once instead of ``tables`` times and
+    the key frame never carries the vectors (code-review r05 third
+    pass #3/#4). Keys are splitmix64(bucket ⊕ mix(t)) — deterministic
+    across shards and partitionings."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..hashing import splitmix64
+
+    planes = _emb_planes(dim, bits, tables, seed_base)
     weights = (np.int64(1) << np.arange(bits, dtype=np.int64))
     tsalt = splitmix64(np.arange(tables, dtype=np.uint64) + np.uint64(0xE3B))
 
@@ -1650,6 +1735,324 @@ def _emb_table_keys(
     src = df.select(id_col, vec_col)
     id_t = src.schema[id_col].dataType.simpleString()
     return src.mapInArrow(assign, schema=f"{id_col} {id_t}, bkey long")
+
+
+def _emb_check_geometry(spark, checkpoint_dir: str, bits: int, tables: int, dim: int):
+    """Bucket-key geometry must match the checkpoint's: keys computed
+    with different bits/tables/dim never collide with retained keys,
+    so every probe would silently miss (code-review r05 third pass
+    #2). The geometry is recorded in each shard's lineage meta."""
+    prior = [m for m in _emb_completed(spark, checkpoint_dir) if "bits" in m]
+    if prior:
+        g = prior[-1]
+        if (int(g["bits"]), int(g["tables"]), int(g["dim"])) != (bits, tables, dim):
+            raise ValueError(
+                f"emb checkpoint was built with bits={g['bits']} "
+                f"tables={g['tables']} dim={g['dim']}; probing with "
+                f"bits={bits} tables={tables} dim={dim} would yield "
+                "silent false negatives"
+            )
+
+
+def _emb_hist_matches(
+    spark,
+    src: DataFrame,
+    keyed: DataFrame,
+    checkpoint_dir: str,
+    now: int,
+    threshold: float,
+    dim: int,
+    bits: int,
+    tables: int,
+    window: int | None = None,
+    exclude_epoch=None,
+) -> DataFrame:
+    """The LAZY history-match plan of incremental_embedding_dedup —
+    sketch probe over bucket keys, bucket-ledger candidate fetch, exact
+    cosine verify against the vec ledger. Exposed (via
+    emb_annotate_plan) so plan tools can explain the REAL operator."""
+    from ..queries import _with_window, seen_within_payloads, sk_window
+
+    empty = spark.createDataFrame(
+        [], "vec_id string, hist_vec_id string, cosine double"
+    )
+    sk, raw = _load_emb_state(
+        spark, checkpoint_dir, exclude_epoch=exclude_epoch, with_raw=True
+    )
+    if sk is None:
+        return empty
+    w = window if window is not None else sk_window(sk)
+    if w > sk_window(sk):
+        raise ValueError(
+            f"window {w} exceeds the sketch's window_ticks {sk_window(sk)}"
+        )
+    if w != sk_window(sk):
+        sk = _with_window(sk, w)
+        raw = None  # re-windowed: stored payload no longer matches
+    hits = (
+        seen_within_payloads(
+            spark, [("", raw if raw is not None else sk.to_bytes())],
+            keyed.select(F.col("bkey").alias("key")),
+            now, only_seen=True,
+        )
+        .select(F.col("key").alias("bkey"))
+        .distinct()
+    )
+    _, bucket_path, vec_path, _ = _emb_paths(checkpoint_dir)
+    done = _done_shards(_emb_completed(spark, checkpoint_dir), exclude_epoch)
+    bucket_led = _read_swap(spark, bucket_path, EMB_BUCKET_LEDGER_DDL)
+    vec_led = _read_swap(spark, vec_path, EMB_VEC_LEDGER_DDL)
+    assert bucket_led is not None and vec_led is not None, (
+        "completed emb shard without its ledgers"
+    )
+    # exact-cosine verify, round-6 shape (guide §8: decide with small
+    # rows, move heavy bytes once; §4.2: vectorized native code inside
+    # the kernel). The round-5 plan fetched candidates via a
+    # ledger ⋈ broadcast join, DISTINCTed the 2.5 M-pair stream,
+    # collected it into a JVM broadcast relation, attached BOTH
+    # vectors per pair with two more broadcast joins, and folded the
+    # 2·dim cosine per pair through Catalyst's higher-order-function
+    # interpreter — measured 11+ s of the 15.7 s bench probe. Every
+    # one of those structures was already bounded by the sketch-hit
+    # candidate set and already passed through the DRIVER (broadcast
+    # relations are driver-collected); round 6 keeps exactly that
+    # bound but drops the ceremony:
+    # - the hit-key bucket-ledger subset (bkey, hist_vec_id) is
+    #   collected once — history itself is still filtered in place by
+    #   a broadcast semi of the (tiny) hit-key set and never shuffles;
+    # - the candidate partners' vectors (the same semi-join-restricted
+    #   set the old plan broadcast as a join side) are collected once;
+    # - both broadcast as a bkey→partners CSR + a float32 matrix, and
+    #   ONE mapInArrow kernel over the shard re-derives each vector's
+    #   bucket keys (same seeded planes), looks up partners, and
+    #   computes all pair cosines in double precision, emitting only
+    #   pairs at cosine >= threshold.
+    # The whole verify is one pure map over the shard — zero joins,
+    # zero pair-stream shuffles, vectors crossing Arrow once.
+    led_hits = (
+        bucket_led.where(
+            (F.col("shard").isin(done))
+            & (F.col("tick") >= F.lit(now - w + 1))
+            & (F.col("tick") <= F.lit(now))
+        )
+        .select("bkey", F.col("vec_id").alias("hist_vec_id"))
+        .join(F.broadcast(hits), "bkey")
+        .toArrow()
+    )
+    hist_ids = led_hits.column("hist_vec_id").unique()
+    hvec_rows = (
+        vec_led.where(F.col("shard").isin(done))
+        .join(
+            F.broadcast(
+                spark.createDataFrame(
+                    [(v.as_py(),) for v in hist_ids], "vec_id string"
+                )
+            ),
+            "vec_id",
+            "left_semi",
+        )
+        .select("vec_id", "embedding")
+        .toArrow()
+    )
+    bc_cand = _broadcast_emb_candidates(spark, led_hits, hvec_rows)
+    scored = src.mapInArrow(
+        _make_emb_verify_udf(bc_cand, threshold, dim, bits, tables),
+        schema="vec_id string, hist_vec_id string, cosine double",
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(F.max(F.struct("cosine", "hist_vec_id")).alias("_best"))
+        .select(
+            "vec_id",
+            F.col("_best.hist_vec_id").alias("hist_vec_id"),
+            F.col("_best.cosine").alias("cosine"),
+        )
+    )
+
+
+def _broadcast_emb_candidates(spark, led_hits, hvec_rows):
+    """Build + broadcast the verify kernel's lookup state from the
+    hit-restricted bucket-ledger rows and the candidate partners'
+    vectors: a sorted-bkey CSR (bkey → partner matrix rows) plus the
+    float32 vector matrix and its float64 norms. Memory bound =
+    O(hit-key ledger rows + candidate partners × dim) — the same
+    candidate-restricted set the round-5 plan drove through
+    F.broadcast(cand)/F.broadcast(hvecs) JVM relations (which are
+    driver-collected too), so the worst-case-re-crawl ceiling noted in
+    VERDICT r05 is unchanged, just relocated and paid once instead of
+    three times."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    ids = hvec_rows.column("vec_id").combine_chunks()
+    emb = hvec_rows.column("embedding").combine_chunks()
+    flat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float32)
+    n = len(ids)
+    counts = np.diff(emb.offsets.to_numpy(zero_copy_only=False).astype(np.int64))
+    if n and not (counts == counts[0]).all():
+        raise ValueError("vec ledger holds ragged embeddings")
+    d = int(counts[0]) if n else 0
+    mat = flat.reshape(n, d) if n else flat.reshape(0, 0)
+    f64 = mat.astype(np.float64)
+    norms = np.sqrt((f64 * f64).sum(axis=1))
+    # ledger rows → (bkey, matrix row); partners whose vector is
+    # absent from the vec ledger are dropped, matching the old
+    # inner-join-with-hvecs semantics
+    bkeys = led_hits.column("bkey").combine_chunks().to_numpy(zero_copy_only=False)
+    ridx = pc.index_in(
+        led_hits.column("hist_vec_id").combine_chunks(), value_set=ids
+    )
+    rvalid = pc.is_valid(ridx).to_numpy(zero_copy_only=False)
+    ridx_np = ridx.to_numpy(zero_copy_only=False)
+    if not rvalid.all():
+        bkeys, ridx_np = bkeys[rvalid], ridx_np[rvalid]
+    ridx_np = ridx_np.astype(np.int32)
+    order = np.argsort(bkeys, kind="stable")
+    sb, partner_rows = bkeys[order], ridx_np[order]
+    if sb.size:
+        first = np.empty(sb.size, dtype=bool)
+        first[0] = True
+        first[1:] = sb[1:] != sb[:-1]
+        starts = np.flatnonzero(first)
+        uniq_bkeys = sb[starts]
+        csr_off = np.append(starts, sb.size).astype(np.int64)
+    else:
+        uniq_bkeys = sb
+        csr_off = np.zeros(1, np.int64)
+    ids_py = ids.to_pylist()
+    return spark.sparkContext.broadcast(
+        (uniq_bkeys, csr_off, partner_rows, ids_py, mat, norms)
+    )
+
+
+def _make_emb_verify_udf(bc_cand, threshold: float, dim: int, bits: int, tables: int):
+    """mapInArrow verify kernel over the bare shard (vec_id,
+    embedding) rows: re-derive each vector's ``tables`` bucket keys
+    from the same seeded planes (_emb_planes — deterministic, shared
+    with _emb_table_keys), look the keys up in the broadcast CSR,
+    gather partner vectors from the broadcast matrix, and emit every
+    (vec_id, hist_vec_id, cosine) pair at cosine >= threshold. All
+    double precision, fully vectorized — no per-row Python, no joins,
+    shard vectors cross the Arrow boundary exactly once. A partner
+    reachable through several tables is scored more than once; the
+    downstream max-per-vec aggregation is insensitive to that, and
+    deduplicating here would cost a per-batch sort for nothing.
+    Zero-norm guard preserved: an all-zero embedding has no direction
+    and never matches anything (code-review r05 third pass #1)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..hashing import splitmix64
+
+    planes = _emb_planes(dim, bits, tables)
+    weights = (np.int64(1) << np.arange(bits, dtype=np.int64))
+    tsalt = splitmix64(np.arange(tables, dtype=np.uint64) + np.uint64(0xE3B))
+
+    def verify(iterator):
+        uniq_bkeys, csr_off, partner_rows, ids, mat, hnorms = bc_cand.value
+        id_arr = None
+        for tbl in iterator:
+            n = len(tbl)
+            if n == 0 or uniq_bkeys.size == 0:
+                continue
+            col = tbl.column("embedding")
+            if col.null_count:
+                raise ValueError(f"embedding contains {col.null_count} null vectors")
+            flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float32)
+            if flat.size != n * dim:
+                raise ValueError(
+                    f"embedding is ragged: {n} vectors yield {flat.size} "
+                    f"floats, expected {n * dim} (dim={dim})"
+                )
+            evec = flat.reshape(n, dim)
+            proj = evec @ planes.T
+            signs = (proj > 0).astype(np.int64).reshape(n, tables, bits)
+            buckets = (signs * weights).sum(axis=2)
+            with np.errstate(over="ignore"):
+                bkey = splitmix64(buckets.astype(np.uint64) ^ tsalt).reshape(-1)
+            kf = bkey.view(np.int64)
+            pos = np.searchsorted(uniq_bkeys, kf)
+            pos[pos == uniq_bkeys.size] = 0  # clamp; equality check below
+            found = uniq_bkeys[pos] == kf
+            cnt = np.where(found, csr_off[pos + 1] - csr_off[pos], 0)
+            total = int(cnt.sum())
+            if total == 0:
+                continue
+            out_off = np.concatenate([np.zeros(1, np.int64), np.cumsum(cnt)])
+            idxs = (
+                np.arange(total, dtype=np.int64)
+                - np.repeat(out_off[:-1], cnt)
+                + np.repeat(np.where(found, csr_off[pos], 0), cnt)
+            )
+            pidx = partner_rows[idxs].astype(np.int64)
+            rows = np.repeat(np.arange(n * tables, dtype=np.int64) // tables, cnt)
+            e64 = evec.astype(np.float64)
+            enorm = np.sqrt((e64 * e64).sum(axis=1))
+            dots = (e64[rows] * mat[pidx].astype(np.float64)).sum(axis=1)
+            nprod = enorm[rows] * hnorms[pidx]
+            posn = nprod > 0
+            cos = np.full(rows.size, -1.0)
+            cos[posn] = dots[posn] / nprod[posn]
+            keep = cos >= threshold
+            if not keep.any():
+                continue
+            if id_arr is None:
+                id_arr = pa.array(ids, pa.string())
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "vec_id": tbl.column("vec_id").take(pa.array(rows[keep])),
+                    "hist_vec_id": id_arr.take(pa.array(pidx[keep])),
+                    "cosine": pa.array(cos[keep], pa.float64()),
+                }
+            )
+
+    return verify
+
+
+def emb_annotate_plan(
+    spark,
+    new_df: DataFrame,
+    checkpoint_dir: str,
+    now: int,
+    dim: int,
+    threshold: float = 0.9,
+    bits: int = 12,
+    tables: int = 8,
+    window: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exclude_epoch=None,
+) -> DataFrame:
+    """The LAZY annotated-flags plan incremental_embedding_dedup
+    materializes (EMB_ANNOTATED_DDL) — exposed, like
+    annotate_against_history / near_history_matches, so plan tools can
+    .explain() the real operator. Callers who want the flags should
+    use incremental_embedding_dedup(update_state=False): this raw plan
+    re-reads the checkpoint on every action."""
+    _emb_check_geometry(spark, checkpoint_dir, bits, tables, dim)
+    src = new_df.select(
+        F.col(id_col).cast("string").alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+    )
+    keyed = _emb_table_keys(
+        src, dim=dim, bits=bits, tables=tables,
+        vec_col="embedding", id_col="vec_id",
+    ).localCheckpoint(eager=True)
+    hist_matches = _emb_hist_matches(
+        spark, src, keyed, checkpoint_dir, now,
+        threshold=threshold, dim=dim, bits=bits, tables=tables,
+        window=window, exclude_epoch=exclude_epoch,
+    )
+    return (
+        src.select("vec_id")
+        .join(hist_matches, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("hist_vec_id").isNotNull().alias("is_emb_dup_history"),
+            "hist_vec_id",
+            "cosine",
+        )
+    )
 
 
 def incremental_embedding_dedup(
@@ -1698,30 +2101,11 @@ def incremental_embedding_dedup(
     vectors are fixed. Intra-shard duplicates are out of scope — run
     embedding_near_dup on the shard first (same composition rule as
     incremental_passages)."""
-    from ..params import ScalingParams, TimingParams
-    from ..pipeline import SketchSpec, build_sketches
-    from ..queries import _with_window, seen_within_distributed, sk_window
-    from .similarity import _dot, _norm
+    from ..params import TimingParams
 
     if params is None:
         params = TimingParams(capacity=2_000_000, error=0.001, window_ticks=2**31)
-    kind = "stbf" if isinstance(params, ScalingParams) else "tbf"
-    state_path, bucket_path, vec_path, lineage_path = _emb_paths(checkpoint_dir)
-
-    # bucket-key geometry must match the checkpoint's: keys computed
-    # with different bits/tables/dim never collide with retained keys,
-    # so every probe would silently miss (code-review r05 third pass
-    # #2). The geometry is recorded in each shard's lineage meta.
-    prior = [m for m in _emb_completed(spark, checkpoint_dir) if "bits" in m]
-    if prior:
-        g = prior[-1]
-        if (int(g["bits"]), int(g["tables"]), int(g["dim"])) != (bits, tables, dim):
-            raise ValueError(
-                f"emb checkpoint was built with bits={g['bits']} "
-                f"tables={g['tables']} dim={g['dim']}; probing with "
-                f"bits={bits} tables={tables} dim={dim} would yield "
-                "silent false negatives"
-            )
+    _emb_check_geometry(spark, checkpoint_dir, bits, tables, dim)
 
     src = new_df.select(
         F.col(id_col).cast("string").alias("vec_id"),
@@ -1734,88 +2118,11 @@ def incremental_embedding_dedup(
         vec_col="embedding", id_col="vec_id",
     ).localCheckpoint(eager=True)
 
-    sk = _load_emb_state(spark, checkpoint_dir, exclude_epoch=exclude_epoch)
-    if sk is not None:
-        w = window if window is not None else sk_window(sk)
-        if w > sk_window(sk):
-            raise ValueError(
-                f"window {w} exceeds the sketch's window_ticks {sk_window(sk)}"
-            )
-        if w != sk_window(sk):
-            sk = _with_window(sk, w)
-        state_df = spark.createDataFrame(
-            [(EMB_SPEC, "", bytearray(sk.to_bytes()), int(sk.n_items))],
-            "spec string, group string, payload binary, n_items long",
-        )
-        hits = (
-            seen_within_distributed(
-                spark, state_df, EMB_SPEC,
-                keyed.select(F.col("bkey").alias("key")).distinct(),
-                now, only_seen=True,
-            )
-            .select(F.col("key").alias("bkey"))
-            .distinct()
-        )
-        done = _done_shards(_emb_completed(spark, checkpoint_dir), exclude_epoch)
-        bucket_led = _read_swap(spark, bucket_path, EMB_BUCKET_LEDGER_DDL)
-        vec_led = _read_swap(spark, vec_path, EMB_VEC_LEDGER_DDL)
-        assert bucket_led is not None and vec_led is not None, (
-            "completed emb shard without its ledgers"
-        )
-        # shard-side hit keys broadcast INTO the bucket-ledger scan —
-        # the check-12/13 shape: history filtered in place. Key count
-        # is docs × tables (doc-cardinality × small constant), so the
-        # broadcast stays bounded, unlike the passage operator's
-        # token-cardinality sets.
-        probe = keyed.select("bkey", "vec_id").join(F.broadcast(hits), "bkey")
-        cand = (
-            bucket_led.where(
-                (F.col("shard").isin(done))
-                & (F.col("tick") >= F.lit(now - w + 1))
-                & (F.col("tick") <= F.lit(now))
-            )
-            .select("bkey", F.col("vec_id").alias("hist_vec_id"))
-            .join(F.broadcast(probe), "bkey")
-            .select("vec_id", "hist_vec_id")
-            .distinct()
-        )
-        hist_ids = cand.select(F.col("hist_vec_id").alias("vec_id")).distinct()
-        hvecs = (
-            vec_led.where(F.col("shard").isin(done))
-            .join(F.broadcast(hist_ids), "vec_id", "left_semi")
-            .select(
-                F.col("vec_id").alias("hist_vec_id"),
-                F.col("embedding").alias("hvec"),
-            )
-        )
-        # shared _dot/_norm (similarity.py) with an explicit zero-norm
-        # guard: an all-zero embedding (empty doc / failed embedder)
-        # would otherwise abort the job under Spark 4's default ANSI
-        # mode (DIVIDE_BY_ZERO) — or, with ANSI off, yield NaN, which
-        # compares >= threshold and becomes a FALSE duplicate flag
-        # (code-review r05 third pass #1). Zero vectors have no
-        # direction: they never match anything.
-        nprod = _norm(F.col("embedding")) * _norm(F.col("hvec"))
-        cos = F.when(
-            nprod > 0, _dot(F.col("embedding"), F.col("hvec")) / nprod
-        ).otherwise(F.lit(-1.0))
-        hist_matches = (
-            src.join(F.broadcast(cand), "vec_id")
-            .join(F.broadcast(hvecs), "hist_vec_id")
-            .select("vec_id", "hist_vec_id", cos.alias("cosine"))
-            .where(F.col("cosine") >= threshold)
-            .groupBy("vec_id")
-            .agg(F.max(F.struct("cosine", "hist_vec_id")).alias("_best"))
-            .select(
-                "vec_id",
-                F.col("_best.hist_vec_id").alias("hist_vec_id"),
-                F.col("_best.cosine").alias("cosine"),
-            )
-        )
-    else:
-        hist_matches = spark.createDataFrame(
-            [], "vec_id string, hist_vec_id string, cosine double"
-        )
+    hist_matches = _emb_hist_matches(
+        spark, src, keyed, checkpoint_dir, now,
+        threshold=threshold, dim=dim, bits=bits, tables=tables,
+        window=window, exclude_epoch=exclude_epoch,
+    )
 
     ann = (
         src.select("vec_id")
@@ -1887,8 +2194,14 @@ def _commit_emb_rows(
         "bkey", "vec_id", F.lit(now).cast("long").alias("tick"),
         F.lit(shard).cast("int").alias("shard"),
     ).write.mode("append").parquet(bucket_path)
+    # cast to the ledger DDL's array<float> at ingest (ADVICE r05 #2):
+    # an uncast array<double> caller would commit fine on shard 1 and
+    # then poison every later probe with a parquet schema-conversion
+    # error when _read_swap applies EMB_VEC_LEDGER_DDL
     vec_rows.select(
-        "vec_id", "embedding", F.lit(now).cast("long").alias("tick"),
+        "vec_id",
+        F.col("embedding").cast("array<float>").alias("embedding"),
+        F.lit(now).cast("long").alias("tick"),
         F.lit(shard).cast("int").alias("shard"),
     ).write.mode("append").parquet(vec_path)
     if pre_lineage is not None:

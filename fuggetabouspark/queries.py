@@ -17,11 +17,38 @@ SEEN_DDL = "group string, key long, seen boolean"
 
 # worker-process-level cache of deserialized probe sketches, keyed on
 # a content hash of the state payloads (see seen_within_distributed).
-# Capacity 2, not 1: an ingest pipeline probes TWO states per batch
-# (exact-dedup fps + near-dup band keys — code-review r04), and a
-# single slot would thrash between them, re-inflating every trigger.
+# Capacity raised to 4 in round 6: a four-granularity ingest guard
+# probes FOUR states per batch (exact fps + near band keys + passage
+# fps + emb bucket keys), and 2 slots would thrash between them,
+# re-inflating every trigger (round 4 set 2 for the exact+near pair).
 _PROBE_SKETCH_CACHE: dict = {}
-_PROBE_CACHE_SLOTS = 2
+_PROBE_CACHE_SLOTS = 4
+
+# DRIVER-side cache of the corresponding sc.broadcast handles, same
+# content key, same slot budget (round 6, guide §1/§5): without it
+# every probe call re-pickles the full payload set into a fresh
+# broadcast variable (~40 MB for a 1M-capacity TBF) even though the
+# state version hasn't changed — the steady-state shape of incremental
+# ingest is MANY probe jobs per state version. Evicted entries are
+# unpersist()ed (not destroyed), so a lazy plan that still references
+# one simply re-fetches from the driver.
+_STATE_BC_CACHE: dict = {}
+
+
+def _payload_cache_key(payloads) -> str:
+    import hashlib
+
+    # CONTENT-keyed (not per-call): repeated probes of the same state
+    # version hit both caches across jobs — a new state version changes
+    # the bytes and misses. Length-framed fields: without the prefixes,
+    # ("a", b"bXY") and ("ab", b"XY") would hash identically and a
+    # colliding state-set could serve sketches under the wrong labels.
+    d = hashlib.blake2b(digest_size=16)
+    for g, p_ in payloads:
+        gb = g.encode()
+        d.update(len(gb).to_bytes(4, "little")); d.update(gb)
+        d.update(len(p_).to_bytes(8, "little")); d.update(p_)
+    return d.hexdigest()
 
 
 def seen_within(
@@ -103,26 +130,32 @@ def seen_within_distributed(
     VERSION once, however many probe jobs hit it — the steady-state
     shape of incremental ingest. The cache keeps only the newest
     entry, bounding worker memory at one state-set."""
-    import pyarrow as pa
-
     rows = state_df.where(f"spec = '{spec_name}'").select("group", "payload").collect()
     payloads = [(r["group"], bytes(r["payload"])) for r in rows]
-    bc = spark.sparkContext.broadcast(payloads)
-    import hashlib
+    return seen_within_payloads(spark, payloads, probes_df, now, key_col, only_seen)
 
-    # CONTENT-keyed (not per-call): repeated probes of the same state
-    # version hit the worker cache across jobs — the steady-state shape
-    # of incremental ingest, where one checkpoint version serves many
-    # probe jobs. A new state version changes the bytes and misses.
-    d = hashlib.blake2b(digest_size=16)
-    for g, p_ in payloads:
-        gb = g.encode()
-        # length-framed fields: without the prefixes, ("a", b"bXY") and
-        # ("ab", b"XY") would hash identically and a colliding
-        # state-set could serve sketches under the wrong group labels
-        d.update(len(gb).to_bytes(4, "little")); d.update(gb)
-        d.update(len(p_).to_bytes(8, "little")); d.update(p_)
-    cache_key = d.hexdigest()
+
+def seen_within_payloads(
+    spark, payloads, probes_df, now, key_col="key", only_seen=False
+):
+    """seen_within_distributed for callers that already hold the state
+    payloads in memory (the incremental operators: they load + merge
+    the checkpointed sketch on the driver anyway). Skips the
+    createDataFrame → collect round trip of the payload bytes — two
+    driver-side copies of a ~40 MB sketch per probe call (round 6,
+    guide §5: the driver should do almost no data work).
+
+    ``payloads``: list of (group, bytes). Same output as
+    seen_within_distributed for a state_df holding those rows."""
+    import pyarrow as pa
+
+    cache_key = _payload_cache_key(payloads)
+    bc = _STATE_BC_CACHE.get(cache_key)
+    if bc is None:
+        bc = spark.sparkContext.broadcast(payloads)
+        while len(_STATE_BC_CACHE) >= _PROBE_CACHE_SLOTS:
+            _STATE_BC_CACHE.pop(next(iter(_STATE_BC_CACHE))).unpersist()
+        _STATE_BC_CACHE[cache_key] = bc
 
     def probe(iterator):
         import fuggetabouspark.queries as _q
