@@ -250,8 +250,18 @@ def minhash_lsh_candidates(
 
     Fails fast when bands × rows_per_band exceeds the signature length:
     out-of-range slices would silently hash every doc into the same
-    bucket for the overflow bands (an accidental all-pairs join)."""
-    banded = banded_signatures(sig_df, bands, rows_per_band)
+    bucket for the overflow bands (an accidental all-pairs join).
+
+    The band frame is localCheckpoint()ed before the self-join (round
+    6, guide §2.4): both join sides reference the same subtree, and an
+    un-materialized plan recomputes the ENTIRE upstream — including
+    the minhash signature kernel, the single most expensive stage of
+    the near-dup chain — once per side (measured: the kernel ran twice
+    per chain invocation). Materialized, the two sides also plan
+    identical exchanges, which Spark's ReuseExchange collapses to one.
+    Cost: O(docs × bands × ~24 B) in the block store, spilling to disk
+    past memory — strictly cheaper than a second signature pass."""
+    banded = banded_signatures(sig_df, bands, rows_per_band).localCheckpoint(eager=True)
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -358,17 +368,23 @@ def connected_components(
     if e.limit(1).count() == 0:
         out = e.select(F.col("a").alias("node"), F.col("a").alias("comp"))
         return (out, 0) if return_rounds else out
-    lab = (
-        e.select(F.col("a").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("comp"))
-        .localCheckpoint()
-    )
+    lab = None  # round 1 runs off identity labels synthesized from e
     for rounds in range(1, max_iter + 1):
-        msgs = e.join(lab, e.b == lab.node).select(F.col("a").alias("node"), "comp")
+        if lab is None:
+            # round-1 specialization (round 6): with comp(x) = x, the
+            # edges⋈labels propagation join is the identity relabeling
+            # e.select(a, b) and the self-labels are e.select(a, a) —
+            # no label-init job, no distinct, no join; the groupBy
+            # dedups the repeated self-rows. Labels after this round
+            # are identical to the generic formulation's.
+            cand_labels = e.select(F.col("a").alias("node"), F.col("a").alias("comp")).union(
+                e.select(F.col("a").alias("node"), F.col("b").alias("comp"))
+            )
+        else:
+            msgs = e.join(lab, e.b == lab.node).select(F.col("a").alias("node"), "comp")
+            cand_labels = lab.select("node", "comp").union(msgs)
         new = (
-            lab.select("node", "comp")
-            .union(msgs)
+            cand_labels
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
             # materialize before the self-join below — the hop reads
@@ -382,13 +398,17 @@ def connected_components(
         # hop monotone — least() is a pure safety belt. The old label
         # is joined back in the SAME job so convergence detection needs
         # no third shuffle job per round (round 6): _chg marks rows
-        # whose post-hop label differs from last round's, and the
-        # convergence probe below is a limit(1) scan of the
-        # checkpointed result, not a join.
+        # whose post-hop label differs from last round's (round 1: from
+        # the identity labeling), and the convergence probe below is a
+        # limit(1) scan of the checkpointed result, not a join.
         hop = new.select(F.col("node").alias("comp"), F.col("comp").alias("comp2"))
+        hopped = new.join(hop, "comp", "left")
+        if lab is None:
+            hopped = hopped.withColumn("_old", F.col("node"))
+        else:
+            hopped = hopped.join(lab.select("node", F.col("comp").alias("_old")), "node")
         new = (
-            new.join(hop, "comp", "left")
-            .join(lab.select("node", F.col("comp").alias("_old")), "node")
+            hopped
             .select(
                 "node",
                 F.least(F.col("comp"), F.coalesce("comp2", "comp")).alias("comp"),
@@ -683,19 +703,44 @@ def mask_repeated_passages(
     # caller action tree and the lineage must stay re-computable on
     # executor loss at scale
     wf = wf.persist()
-    # detect on the per-doc-DISTINCT rollup: one row per (doc, fp)
-    # makes the doc count a plain count(*), and the global keeper
-    # min(struct(doc_id, pos)) equals min(struct(doc_id, first_pos))
-    # because the min-doc row's first_pos IS that doc's min position
-    rep = (
+    # detect on the per-doc-DISTINCT rollup, in TWO phases (round 6,
+    # guide §1.2 per-task work): the round-5 single
+    # count + min(struct(doc_id, pos)) aggregation planned as
+    # SortAggregate — a struct-typed buffer is not hash-aggregatable,
+    # so BOTH levels sorted the full O(distinct (doc, fp)) rollup
+    # (measured 5.3 s of the 9.4 s bench query at 25 M rows). Phase 1
+    # is a pure-primitive count(*) per fp (HashAggregate end to end);
+    # phase 2 computes the keeper min(struct) only over the rows whose
+    # fp survived the min_docs filter — the boilerplate fraction, not
+    # the corpus. Keeper semantics are byte-identical: one row per
+    # (doc, fp) makes the doc count a plain count(*), and the global
+    # keeper min(struct(doc_id, pos)) equals
+    # min(struct(doc_id, first_pos)) because the min-doc row's
+    # first_pos IS that doc's min position.
+    repfp = (
         wf.groupBy("fp")
-        .agg(
-            F.count("*").alias("_nd"),
-            F.min(F.struct(F.col("doc_id"), F.col("first_pos").alias("pos"))).alias("_keep"),
-        )
+        .agg(F.count("*").alias("_nd"))
         .where(F.col("_nd") >= min_docs)
-        .select("fp", "_keep")
+        .select("fp")
     )
+    # keeper doc per repeated fp, computed only over the rows whose fp
+    # survived the filter (the boilerplate fraction, not the corpus);
+    # min(doc_id) is partial-aggregated map-side, so a mega-repeated
+    # fp never funnels raw rows through one task (the no-Window rule).
+    # The keeper POSITION needs no aggregation at all: it is the
+    # keeper doc's own first occurrence, i.e. that row's pos_list[0]
+    # (pos_list is ascending by construction) — the old
+    # min(struct(doc_id, pos)) carried it redundantly, since the
+    # min-doc row's first_pos IS that doc's min position.
+    rep = (
+        wf.join(repfp, "fp")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("_kd"))
+    )
+    # repeated-fp sets return to the rollup via plain joins — AQE
+    # broadcast-selects them when small (the common case) and falls
+    # back to an fp-keyed shuffle for boilerplate-heavy corpora with
+    # 10^8+ repeated fingerprints, never a driver-side collect
     drops = (
         wf.join(rep, "fp")
         .select(
@@ -703,8 +748,8 @@ def mask_repeated_passages(
             F.filter(
                 "pos_list",
                 lambda p: ~(
-                    (F.col("doc_id") == F.col("_keep.doc_id"))
-                    & (p == F.col("_keep.pos"))
+                    (F.col("doc_id") == F.col("_kd"))
+                    & (p == F.element_at("pos_list", 1))
                 ),
             ).alias("_d"),
         )
