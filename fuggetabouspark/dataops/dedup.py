@@ -757,13 +757,17 @@ def mask_repeated_passages(
         .agg(F.flatten(F.collect_list("_d")).alias("_drops"))
     )
     words = F.split(F.col(text_col), " ")
-    kept = F.filter(
-        F.col("_words"),
-        lambda w, i: F.when(F.col("_drops").isNull(), F.lit(True)).otherwise(
-            ~F.exists(
+    # the no-drops branch is hoisted OUT of the per-element lambda
+    # (round 6): the old formulation re-evaluated the _drops-is-null
+    # test once per TOKEN, so the ~95% of docs with nothing to remove
+    # still paid a full filter pass over their words
+    kept = F.when(F.col("_drops").isNull(), F.col("_words")).otherwise(
+        F.filter(
+            F.col("_words"),
+            lambda w, i: ~F.exists(
                 F.col("_drops"), lambda p: (i >= p) & (i < p + F.lit(window))
-            )
-        ),
+            ),
+        )
     )
     return (
         df.join(drops, "doc_id", "left")

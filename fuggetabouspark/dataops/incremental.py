@@ -1589,11 +1589,16 @@ def mask_against_history(
         F.col("doc_id").alias("_k"), F.col("hist_positions").alias("_drops")
     )
     words = F.split(F.col(text_col), " ")
-    kept = F.filter(
-        F.col("_words"),
-        lambda w, i: F.when(F.col("_drops").isNull(), F.lit(True)).otherwise(
-            ~F.exists(F.col("_drops"), lambda p: (i >= p) & (i < p + F.lit(window)))
-        ),
+    # no-drops branch hoisted out of the per-element lambda (round 6,
+    # same reasoning as mask_repeated_passages): docs with nothing to
+    # mask skip the per-token filter entirely
+    kept = F.when(F.col("_drops").isNull(), F.col("_words")).otherwise(
+        F.filter(
+            F.col("_words"),
+            lambda w, i: ~F.exists(
+                F.col("_drops"), lambda p: (i >= p) & (i < p + F.lit(window))
+            ),
+        )
     )
     return (
         new_df.withColumn("_k", F.col("doc_id").cast("string"))

@@ -171,26 +171,50 @@ def seen_within_payloads(
             _q._PROBE_SKETCH_CACHE[cache_key] = sks
         if not sks:  # no groups for this spec: skip hashing entirely
             return
+        # per-group constant string column, built once per length and
+        # sliced per batch (round 6, guide §4.2): the old
+        # pa.array([g] * n) materialized a fresh n-element Python list
+        # + Arrow conversion per group per batch — at 20 groups x 10^6
+        # probes that is the probe job's dominant non-hash cost
+        garr: dict = {}
+
+        def gcol(g, m):
+            a = garr.get(g)
+            if a is None or len(a) < m:
+                a = garr[g] = pa.array([g] * max(m, 8192), pa.string())
+            return a.slice(0, m)
+
+        true_arr = None
         for tbl in iterator:
             keys = tbl.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
             # hash the batch ONCE; every group's filter reuses the pair
             # (the dominant probe cost is |groups| x hashing otherwise)
             pair = hash_pair(keys)
+            key_arr = pa.array(keys, pa.int64())
             for g, sk in sks:
                 seen = sk.contains_batch(keys, now, pair=pair)
-                out_keys, out_seen = keys, seen
                 if only_seen:
-                    out_keys = keys[seen]
-                    if out_keys.size == 0:
+                    hit = np.flatnonzero(seen)
+                    if hit.size == 0:
                         continue
-                    out_seen = np.ones(out_keys.size, dtype=bool)
-                yield pa.RecordBatch.from_pydict(
-                    {
-                        "group": pa.array([g] * len(out_keys), pa.string()),
-                        "key": pa.array(out_keys, pa.int64()),
-                        "seen": pa.array(out_seen),
-                    }
-                )
+                    if true_arr is None or len(true_arr) < hit.size:
+                        true_arr = pa.array(
+                            np.ones(max(hit.size, 8192), dtype=bool)
+                        )
+                    out = pa.RecordBatch.from_arrays(
+                        [
+                            gcol(g, hit.size),
+                            key_arr.take(pa.array(hit)) if hit.size < keys.size else key_arr,
+                            true_arr.slice(0, hit.size),
+                        ],
+                        ["group", "key", "seen"],
+                    )
+                else:
+                    out = pa.RecordBatch.from_arrays(
+                        [gcol(g, keys.size), key_arr, pa.array(seen)],
+                        ["group", "key", "seen"],
+                    )
+                yield out
 
     return probes_df.mapInArrow(probe, schema=SEEN_DDL)
 
