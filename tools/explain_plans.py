@@ -308,6 +308,50 @@ def main():
         "incremental-near",
     ))
 
+    # 11. incremental EMBEDDING verify — the round-6 pure-map shape
+    # (VERDICT r05 "Next round" #2 asked to plan-gate the emb history
+    # verify; the rewrite makes the property gateable in its strongest
+    # form): the returned annotate plan must contain the MapInArrow
+    # verify kernel, NO parquet scan (the bucket/vec ledgers are
+    # consumed by a sketch-hit-bounded collect + broadcast during plan
+    # construction, never by a distributed join), and no SortMergeJoin
+    # — so neither ledger can ever be shuffled, because neither ledger
+    # is in the distributed plan at all.
+    from fuggetabouspark.dataops import incremental_embedding_dedup
+    from fuggetabouspark.dataops.incremental import emb_annotate_plan
+
+    ck = tempfile.mkdtemp(prefix="fgs_plans_emb_")
+    try:
+        dim = len(emb.select("embedding").first()[0])
+        small = _TP(capacity=50_000, error=0.001, window_ticks=2**31)
+        incremental_embedding_dedup(
+            spark, emb.limit(64), ck, now=1, dim=dim, params=small, partitions=4
+        ).unpersist()
+        p12 = plan_of(emb_annotate_plan(spark, emb, ck, now=2, dim=dim))
+        # ledger-scan detector: any scan whose location lives under the
+        # checkpoint dir (the shard input is itself parquet, so a bare
+        # 'Scan parquet' test would always fire)
+        ledger_scanned = ck in p12
+    finally:
+        shutil.rmtree(ck, ignore_errors=True)
+    sections.append((
+        "incremental EMBEDDING verify (real operator: pure-map kernel, ledgers never in the plan)",
+        p12,
+        "The shard's vectors flow through ONE mapInArrow verify kernel "
+        "(bucket keys re-derived from the shared seeded planes, "
+        "partners gathered from a broadcast CSR + matrix bounded by "
+        "the sketch-hit candidate set); the bucket and vec ledgers are "
+        "filtered and collected before this plan exists, so no plan "
+        "rewrite can ever put history on a shuffled join side.",
+    ))
+    checks.append((
+        "emb verify is a pure map (kernel present, no ledger scan, no shuffled join)",
+        "MapInArrow" in p12
+        and not ledger_scanned
+        and "SortMergeJoin" not in p12,
+        "incremental-emb",
+    ))
+
     lines = ["# PLANS — physical-plan evidence (auto-generated by tools/explain_plans.py)", ""]
     lines.append("## Checks")
     lines.append("")
