@@ -701,7 +701,12 @@ def mask_repeated_passages(
     wf = passage_fingerprints(df, text_col, window, stride, with_positions=True)
     # persisted, not localCheckpointed: both consumers run in the same
     # caller action tree and the lineage must stay re-computable on
-    # executor loss at scale
+    # executor loss at scale. Lifetime note (ADVICE r05 #3): the cache
+    # entry is owned by the session's CacheManager until session end —
+    # the returned plan consumes it lazily, so this function cannot
+    # unpersist it. Long-lived sessions doing per-shard batch
+    # remediation should use incremental_passages/mask_against_history
+    # instead, whose state is checkpoint-scoped, not cache-scoped.
     wf = wf.persist()
     # detect on the per-doc-DISTINCT rollup, in TWO phases (round 6,
     # guide §1.2 per-task work): the round-5 single

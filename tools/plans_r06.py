@@ -119,9 +119,18 @@ def main():
         spark, day1, ckdir, now=1, text_col="tokens", partitions=8, params=ip
     ).unpersist()
     day2 = day1.withColumn("doc_id", F.concat("doc_id", F.lit("_r")))
-    sections["incremental_recrawl"] = inc.annotate_against_history(
-        spark, day2, ckdir, 2, text_col="tokens"
-    )
+    if hasattr(inc, "_shard_fps"):
+        # round-6 operator shape: incremental_dedup materializes the
+        # (doc_id, fp, tick) frame once and hands it to the annotate
+        # plan — capture exactly what the operator executes
+        fps = inc._shard_fps(day2, "tokens", None, 2).localCheckpoint(eager=True)
+        sections["incremental_recrawl"] = inc.annotate_against_history(
+            spark, day2, ckdir, 2, text_col="tokens", fps_df=fps
+        )
+    else:
+        sections["incremental_recrawl"] = inc.annotate_against_history(
+            spark, day2, ckdir, 2, text_col="tokens"
+        )
 
     # --- incremental emb probe (needs a day-1 emb checkpoint) ---
     EDIM = 16
