@@ -380,50 +380,46 @@ def connected_components(
             cand_labels = e.select(F.col("a").alias("node"), F.col("a").alias("comp")).union(
                 e.select(F.col("a").alias("node"), F.col("b").alias("comp"))
             )
+            old = F.col("node")
         else:
             msgs = e.join(lab, e.b == lab.node).select(F.col("a").alias("node"), "comp")
             cand_labels = lab.select("node", "comp").union(msgs)
-        new = (
-            cand_labels
-            .groupBy("node")
-            .agg(F.min("comp").alias("comp"))
-            # materialize before the self-join below — the hop reads
-            # this frame twice, and un-checkpointed it would recompute
-            # the propagation aggregation for each side
-            .localCheckpoint()
-        )
-        # pointer jumping: comp ← comp(comp). Labels are always node
-        # ids present in lab (min over seen node ids), so the hop join
-        # matches every row; comp(m) <= m by construction, making the
-        # hop monotone — least() is a pure safety belt. The old label
-        # is joined back in the SAME job so convergence detection needs
-        # no third shuffle job per round (round 6): _chg marks rows
-        # whose post-hop label differs from last round's (round 1: from
-        # the identity labeling), and the convergence probe below is a
-        # limit(1) scan of the checkpointed result, not a join.
+            old = F.col("_old")
+        # propagation + change detection in ONE job (round 6): _chg
+        # marks nodes whose propagated label differs from last round's
+        # (round 1: from the identity labeling). Convergence is checked
+        # HERE, before pointer jumping: propagate-stability means every
+        # adjacent pair carries equal labels, so labels are constant
+        # per component and hence equal to the component min (the min
+        # node always keeps its own id) — the hop is provably the
+        # identity at that point, so the converged round skips its join
+        # entirely. Stopping condition and final labels are identical
+        # to the round-5 post-hop check: propagation and the hop only
+        # ever DECREASE labels, so a changed propagation can never be
+        # hopped back to the previous labels.
+        prop = cand_labels.groupBy("node").agg(F.min("comp").alias("comp"))
+        if lab is not None:
+            prop = prop.join(lab.select("node", F.col("comp").alias("_old")), "node")
+        new = prop.select(
+            "node", "comp", (F.col("comp") != old).alias("_chg")
+        ).localCheckpoint()
+        if new.where("_chg").limit(1).count() == 0:
+            out = new.select("node", "comp")
+            return (out, rounds) if return_rounds else out
+        # not converged: pointer jumping accelerator — comp ← comp(comp).
+        # Labels are always node ids present in the label set (min over
+        # seen node ids), so the hop join matches every row; comp(m) <=
+        # m by construction makes the hop monotone — least() is a pure
+        # safety belt. The checkpointed `new` feeds both hop sides.
         hop = new.select(F.col("node").alias("comp"), F.col("comp").alias("comp2"))
-        hopped = new.join(hop, "comp", "left")
-        if lab is None:
-            hopped = hopped.withColumn("_old", F.col("node"))
-        else:
-            hopped = hopped.join(lab.select("node", F.col("comp").alias("_old")), "node")
-        new = (
-            hopped
+        lab = (
+            new.join(hop, "comp", "left")
             .select(
                 "node",
                 F.least(F.col("comp"), F.coalesce("comp2", "comp")).alias("comp"),
-                (
-                    F.least(F.col("comp"), F.coalesce("comp2", "comp"))
-                    != F.col("_old")
-                ).alias("_chg"),
             )
             .localCheckpoint()
         )
-        changed = new.where("_chg").limit(1).count()
-        lab = new.select("node", "comp")
-        if changed == 0:
-            out = lab
-            return (out, rounds) if return_rounds else out
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 
 
