@@ -1845,17 +1845,20 @@ def _emb_hist_matches(
         .toArrow()
     )
     hist_ids = led_hits.column("hist_vec_id").unique()
+    # Arrow fast path for the candidate-id frame: a row-list
+    # createDataFrame ships O(candidates) strings through py4j one
+    # batch of pickled rows at a time — single-threaded driver work
+    # that a steal burst magnifies (guide §6 Arrow-for-driver-
+    # transfers; arrow.pyspark is enabled in get_spark)
+    import pandas as pd
+
+    hist_ids_df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": hist_ids.to_pandas().astype(str)}),
+        schema="vec_id string",  # explicit: inference fails on empty
+    )
     hvec_rows = (
         vec_led.where(F.col("shard").isin(done))
-        .join(
-            F.broadcast(
-                spark.createDataFrame(
-                    [(v.as_py(),) for v in hist_ids], "vec_id string"
-                )
-            ),
-            "vec_id",
-            "left_semi",
-        )
+        .join(F.broadcast(hist_ids_df), "vec_id", "left_semi")
         .select("vec_id", "embedding")
         .toArrow()
     )
@@ -1924,9 +1927,11 @@ def _broadcast_emb_candidates(spark, led_hits, hvec_rows):
     else:
         uniq_bkeys = sb
         csr_off = np.zeros(1, np.int64)
-    ids_py = ids.to_pylist()
+    # ids stay a pyarrow Array end to end: it pickles via Arrow IPC
+    # (no 10^5-element Python string list), and the kernel can .take()
+    # it directly instead of rebuilding a string array per task
     return spark.sparkContext.broadcast(
-        (uniq_bkeys, csr_off, partner_rows, ids_py, mat, norms)
+        (uniq_bkeys, csr_off, partner_rows, ids, mat, norms)
     )
 
 
@@ -1954,8 +1959,7 @@ def _make_emb_verify_udf(bc_cand, threshold: float, dim: int, bits: int, tables:
     tsalt = splitmix64(np.arange(tables, dtype=np.uint64) + np.uint64(0xE3B))
 
     def verify(iterator):
-        uniq_bkeys, csr_off, partner_rows, ids, mat, hnorms = bc_cand.value
-        id_arr = None
+        uniq_bkeys, csr_off, partner_rows, id_arr, mat, hnorms = bc_cand.value
         for tbl in iterator:
             n = len(tbl)
             if n == 0 or uniq_bkeys.size == 0:
@@ -2001,8 +2005,6 @@ def _make_emb_verify_udf(bc_cand, threshold: float, dim: int, bits: int, tables:
             keep = cos >= threshold
             if not keep.any():
                 continue
-            if id_arr is None:
-                id_arr = pa.array(ids, pa.string())
             yield pa.RecordBatch.from_pydict(
                 {
                     "vec_id": tbl.column("vec_id").take(pa.array(rows[keep])),
